@@ -1,0 +1,86 @@
+"""End-to-end benchmark: 1080p30 video -> funscript, x-realtime per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N}
+
+Baseline: the reference is "usually faster than watching it" on a desktop
+CPU, i.e. ~1x realtime (README.md:52-53, BASELINE.md) — ``vs_baseline`` is
+therefore the same multiple. A synthetic 1080p30 clip with real texture +
+motion (zoom oscillation, pan, one scene cut) is generated on first run and
+cached; jit warmup runs on a small window first so one-time compilation is
+not billed against steady-state throughput (a folder batch amortizes it).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+BENCH_VIDEO = "/tmp/ff_bench_1080p30.mp4"
+DURATION_S = 20.0
+FPS = 30
+
+
+def make_bench_video(path: str) -> None:
+    import cv2
+
+    h, w = 1080, 1920
+    n = int(DURATION_S * FPS)
+    rng = np.random.default_rng(0)
+    tex = cv2.GaussianBlur((rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 5)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (w, h))
+    for i in range(n):
+        if i == n // 2:
+            tex = cv2.GaussianBlur(
+                (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 5
+            )
+        s = float(np.exp(0.05 * np.sin(2 * np.pi * i / 45.0)))
+        M = cv2.getRotationMatrix2D((w, h), 0, s)
+        M[0, 2] += 3.0 * np.sin(2 * np.pi * i / 200.0)
+        img = cv2.warpAffine(tex, M, (w * 2, h * 2))[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        vw.write(cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from funscript_flow_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from funscript_flow_tpu.models.pipeline import PipelineConfig, flow_chunk_program
+    from funscript_flow_tpu.runner import process_video
+    from funscript_flow_tpu.utils.params import Params
+
+    if not os.path.exists(BENCH_VIDEO):
+        make_bench_video(BENCH_VIDEO)
+
+    params = Params(overwrite=True)
+
+    # Warm up compilation for the production micro-batch shape.
+    import jax.numpy as jnp
+
+    cfg = PipelineConfig(pair_batch=params.pair_batch)
+    warm_frames = np.zeros((params.pair_batch + 13, 256, 256, 3), np.uint8)
+    flow_chunk_program(jnp.asarray(warm_frames), jnp.int32(4), cfg)["dots"].block_until_ready()
+
+    t0 = time.time()
+    err = process_video(BENCH_VIDEO, params, log_func=lambda m: None)
+    wall = time.time() - t0
+    if err:
+        print(json.dumps({"metric": "bench_error", "value": 0, "unit": "", "vs_baseline": 0}))
+        return
+
+    x_rt = DURATION_S / wall
+    print(json.dumps({
+        "metric": "1080p30 end-to-end (decode+flow+signal+emit) per chip",
+        "value": round(x_rt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(x_rt / 1.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Host-side video decode + preprocessing.
+
+The framework boundary is "fixed-size uint8 RGB frame batches into device
+memory" (BASELINE.json north star): decode stays on host, everything after
+grayscale conversion runs on the TPU.
+
+Unlike the reference's seek-per-frame thread pool (FunscriptFlow.pyw:173-189,
+a cv2 ``set(POS_FRAMES)`` + ``read()`` per frame — SURVEY.md §3.1 lists the
+seek cost as hot spot #2), we decode **sequentially**: one pass with
+``grab()`` to skip unsampled frames and ``retrieve()`` only for sampled ones.
+Same frames out (sampling grid ``step = ceil(fps/30)``, reference :1127),
+several times faster, and kinder to long-GOP codecs.
+
+Failure semantics follow the reference: unreadable file raises at open
+(:1115-1117); a failed frame mid-stream becomes a black frame (:274-280);
+decode never takes the process down.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import threading
+from dataclasses import dataclass
+from queue import Queue
+from typing import Iterator, Optional
+
+import cv2
+import numpy as np
+
+__all__ = ["VideoMeta", "probe", "preprocess_frame", "sampled_frames", "PrefetchingFrameSource"]
+
+ANALYSIS_SIZE = 256
+VR_DECODE_SIZE = 512
+
+SUPPORTED_VIDEO_EXTENSIONS = {
+    ".mp4", ".avi", ".mov", ".mkv", ".m4v", ".webm", ".wmv", ".flv",
+    ".mpg", ".mpeg", ".ts",
+}  # reference :28-29
+
+
+@dataclass
+class VideoMeta:
+    total_frames: int
+    fps: float
+    width: int
+    height: int
+
+    @property
+    def step(self) -> int:
+        """Temporal downsampling to ~30 fps (reference :1127)."""
+        return max(1, int(math.ceil(self.fps / 30.0)))
+
+    @property
+    def effective_fps(self) -> float:
+        return self.fps / self.step
+
+    @property
+    def sampled_indices(self):
+        return range(0, self.total_frames, self.step)
+
+
+def probe(path: str) -> VideoMeta:
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise IOError(f"Cannot open video: {path}")
+        return VideoMeta(
+            total_frames=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            fps=cap.get(cv2.CAP_PROP_FPS),
+            width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        )
+    finally:
+        cap.release()
+
+
+def preprocess_frame(bgr: np.ndarray, vr_mode: bool) -> np.ndarray:
+    """BGR decode output -> [256, 256, 3] uint8 RGB analysis frame.
+
+    Non-VR: resize to 256x256 (reference decodes straight to 256, :1057).
+    VR: resize to 512x512 then crop the bottom-left quadrant — the bottom
+    half of the left eye of an SBS equirect (reference :1076-1079).
+    """
+    if vr_mode:
+        r = cv2.resize(bgr, (VR_DECODE_SIZE, VR_DECODE_SIZE))
+        r = r[VR_DECODE_SIZE // 2 :, : VR_DECODE_SIZE // 2]
+    else:
+        r = cv2.resize(bgr, (ANALYSIS_SIZE, ANALYSIS_SIZE))
+    return cv2.cvtColor(r, cv2.COLOR_BGR2RGB)
+
+
+def sampled_frames(path: str, meta: VideoMeta, vr_mode: bool = False,
+                   cancel_flag=None) -> Iterator[np.ndarray]:
+    """Sequential decode of the ~30 fps sampling grid.
+
+    Yields [256, 256, 3] uint8 RGB frames, one per sampled index, black frame
+    on decode failure (reference :274-280). Stops early if the container runs
+    short of its advertised frame count.
+    """
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise IOError(f"Cannot open video: {path}")
+        step = meta.step
+        black = np.zeros((ANALYSIS_SIZE, ANALYSIS_SIZE, 3), np.uint8)
+        emitted = 0
+        n_samples = len(meta.sampled_indices)
+        pos = 0
+        while emitted < n_samples:
+            if cancel_flag is not None and cancel_flag():
+                return
+            # next sampled frame is at pos; grab it
+            ok = cap.grab()
+            if not ok:
+                # container shorter than advertised: stop (callers handle
+                # short streams); do not emit trailing black padding
+                return
+            if (pos % step) == 0:
+                ok, frame = cap.retrieve()
+                yield preprocess_frame(frame, vr_mode) if ok else black.copy()
+                emitted += 1
+            pos += 1
+    finally:
+        cap.release()
+
+
+class PrefetchingFrameSource:
+    """Decode-ahead thread feeding a bounded frame queue (2-stage pipeline).
+
+    The TPU-side analog of the reference's chunk-prefetch thread
+    (:1139-1185): decode of future frames overlaps device compute on current
+    ones. ``get_batch`` assembles up to ``n`` frames; returns fewer at EOF.
+    """
+
+    def __init__(self, path: str, meta: VideoMeta, vr_mode: bool = False,
+                 depth: int = 512, cancel_flag=None):
+        self._q: Queue = Queue(maxsize=depth)
+        self._done = object()
+        self._cancel = cancel_flag
+        self._exc: Optional[BaseException] = None
+
+        def work():
+            try:
+                for f in sampled_frames(path, meta, vr_mode, cancel_flag):
+                    self._q.put(f)
+            except BaseException as e:  # surfaced on next get_batch
+                self._exc = e
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+        self._eof = False
+
+    def get_batch(self, n: int) -> list:
+        out = []
+        while len(out) < n and not self._eof:
+            item = self._q.get()
+            if item is self._done:
+                self._eof = True
+                if self._exc is not None:
+                    raise self._exc
+                break
+            out.append(item)
+        return out
+
+    def close(self):
+        self._eof = True
+        # drain so the producer unblocks and exits
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except Exception:
+                break
+        self._thread.join(timeout=5.0)
+
+
+def find_videos(root: str) -> list:
+    """Recursive folder walk with the reference's extension whitelist
+    (reference :2617-2623)."""
+    if not os.path.isdir(root):
+        return [root]
+    files = []
+    for r, _dirs, names in os.walk(root):
+        for f in names:
+            if os.path.splitext(f)[1].lower() in SUPPORTED_VIDEO_EXTENSIONS:
+                files.append(os.path.join(r, f))
+    return files

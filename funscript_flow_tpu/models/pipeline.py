@@ -1,0 +1,230 @@
+"""The flagship device program: RGB frame batch -> per-pair motion scalars.
+
+This is the TPU inversion of the reference's per-pair host pipeline
+(FunscriptFlow.pyw:843-907, 1188-1242): instead of multiprocess pools
+pickling frames and full flow fields between host processes, one compiled
+XLA program takes a ``[N, H, W, 3] uint8`` RGB frame window in HBM and
+returns only ``[B]`` scalars + ``[B, 2]`` centers — the flow fields never
+leave the device.
+
+Chunking contract (fixes the reference's chunk-boundary defects, documented
+in SURVEY.md §5): callers process pair micro-batches with a
+``CENTER_SMOOTH_RADIUS``-pair halo on each side, so
+
+* the flow pair spanning two chunks is computed (the reference drops it,
+  :1150, :1188), and
+* the +/-6-pair center smoothing window only truncates at true video edges,
+  not at chunk edges.
+
+``FlowAnalyzer.analyze_video_pairs`` implements that stitching on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.farneback import FarnebackConfig, farneback_flow
+from ..ops.reductions import (
+    CENTER_SMOOTH_RADIUS,
+    max_divergence_center,
+    mean_flow_magnitude,
+    radial_motion_weighted,
+    smooth_centers,
+)
+
+__all__ = ["PipelineConfig", "rgb_to_gray_cv", "flow_chunk_program", "FlowAnalyzer"]
+
+ANALYSIS_SIZE = 256  # reference analyses at 256x256 gray (FunscriptFlow.pyw:1057)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Static (compile-time) pipeline parameters."""
+
+    pov_mode: bool = False
+    cut_threshold: float = 7.0  # reference :876 (config-only key, default 7)
+    pair_batch: int = 240      # device micro-batch of pairs (tunable)
+    pyr_scale: float = 0.5
+    levels: int = 3
+    winsize: int = 15
+    iterations: int = 3
+    poly_n: int = 5
+    poly_sigma: float = 1.2
+
+    def farneback(self) -> FarnebackConfig:
+        return FarnebackConfig(self.pyr_scale, self.levels, self.winsize,
+                               self.iterations, self.poly_n, self.poly_sigma)
+
+
+def rgb_to_gray_cv(rgb: jax.Array) -> jax.Array:
+    """Exact cv2.cvtColor(RGB2GRAY) on uint8: fixed-point BT.601.
+
+    Y = (R*9798 + G*19235 + B*3735 + 2^14) >> 15, matching OpenCV's integer
+    path bit-for-bit (verified exhaustively in tests) so the device pipeline
+    sees the same grayscale input the reference's host pipeline does
+    (FunscriptFlow.pyw:1079-1082).
+    """
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    y = (r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15
+    return y.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def flow_chunk_program(frames: jax.Array, n_pairs: jax.Array, cfg: PipelineConfig):
+    """frames [B+1, H, W, 3] uint8, n_pairs traced valid-pair count ->
+    dict(dots [B], cuts [B], centers [B,2], mean_mag [B], val_pos [B]).
+
+    One fused program: gray -> batched Farnebäck flow -> divergence-argmax
+    centers (or fixed bottom-center in POV mode, reference :880-882) -> cut
+    flags -> +/-6 temporal center smoothing -> weighted radial projection.
+    """
+    gray = rgb_to_gray_cv(frames)
+    f0, f1 = gray[:-1], gray[1:]
+    flow = farneback_flow(f0, f1, cfg.farneback())
+
+    B, H, W = f0.shape
+    if cfg.pov_mode:
+        centers = jnp.broadcast_to(
+            jnp.array([[W // 2, H - 1]], jnp.float32), (B, 2)
+        )
+        val_pos = jnp.zeros((B,), jnp.float32)
+    else:
+        centers, val_pos = max_divergence_center(flow)
+
+    mean_mag = mean_flow_magnitude(flow)
+    cuts = mean_mag > cfg.cut_threshold
+
+    sm_centers = smooth_centers(centers, n_pairs)
+    dots = radial_motion_weighted(flow, sm_centers, cuts, cfg.pov_mode)
+
+    valid = jnp.arange(B) < n_pairs
+    return {
+        "dots": jnp.where(valid, dots, 0.0),
+        "cuts": cuts & valid,
+        "centers": sm_centers,
+        "raw_centers": centers,
+        "mean_mag": jnp.where(valid, mean_mag, 0.0),
+        "val_pos": jnp.where(valid, val_pos, 0.0),
+    }
+
+
+class FlowAnalyzer:
+    """Host-side driver for the device program: halo stitching + micro-batching.
+
+    Feed it the full downsampled-frame stream (or chunk windows) as uint8 RGB
+    [N, 256, 256, 3]; it returns per-pair scalars for all N-1 pairs, bitwise
+    independent of the micro-batch size (tested), with center smoothing
+    windows truncated only at true video edges.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None, device=None):
+        self.cfg = cfg or PipelineConfig()
+        self.device = device
+        self.radius = CENTER_SMOOTH_RADIUS
+
+    def analyze_video_pairs(self, frames: np.ndarray) -> dict:
+        """frames [N, H, W, 3] uint8 -> dict of np arrays of length N-1."""
+        n_total = frames.shape[0] - 1
+        if n_total <= 0:
+            return {
+                "dots": np.zeros(0, np.float32),
+                "cuts": np.zeros(0, bool),
+                "centers": np.zeros((0, 2), np.float32),
+                "mean_mag": np.zeros(0, np.float32),
+                "val_pos": np.zeros(0, np.float32),
+            }
+        B = self.cfg.pair_batch
+        out = {"dots": [], "cuts": [], "centers": [], "mean_mag": [], "val_pos": []}
+        for s in range(0, n_total, B):
+            e = min(s + B, n_total)
+            a = max(0, s - self.radius)
+            b = min(n_total, e + self.radius)
+            window = frames[a : b + 1]  # pairs [a, b) need frames [a, b]
+            n_valid = b - a
+            pad = B + 2 * self.radius - n_valid
+            if pad > 0:
+                window = np.concatenate(
+                    [window, np.repeat(window[-1:], pad, axis=0)], axis=0
+                )
+            res = flow_chunk_program(jnp.asarray(window), jnp.int32(n_valid), self.cfg)
+            lo, hi = s - a, e - a
+            for k in out:
+                out[k].append(np.asarray(res[k])[lo:hi])
+        return {k: np.concatenate(v, axis=0) for k, v in out.items()}
+
+
+class StreamingFlowAnalyzer:
+    """Streaming variant: push decoded frames, collect per-pair results.
+
+    Holds only a rolling window of ``pair_batch + 2*radius + 1`` frames —
+    constant memory regardless of video length (the reference instead holds a
+    whole 3000-frame bracket of flow fields, ~1.5 GB, readme.txt:11). Results
+    are bitwise identical to ``FlowAnalyzer.analyze_video_pairs`` (tested).
+    """
+
+    KEYS = ("dots", "cuts", "centers", "mean_mag", "val_pos")
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.radius = CENTER_SMOOTH_RADIUS
+        self._buf: list = []   # pending frames
+        self._base = 0         # absolute frame index of _buf[0]
+        self._s = 0            # next pair index to emit
+        self._n_frames = 0
+
+    def _frames_window(self, a: int, b: int) -> np.ndarray:
+        """Frames [a, b] (absolute), padded to the static program shape."""
+        i0, i1 = a - self._base, b - self._base + 1
+        window = np.stack(self._buf[i0:i1])
+        need = self.cfg.pair_batch + 2 * self.radius + 1
+        if window.shape[0] < need:
+            pad = np.repeat(window[-1:], need - window.shape[0], axis=0)
+            window = np.concatenate([window, pad], axis=0)
+        return window
+
+    def _run(self, e: int, n_total: int | None) -> dict:
+        s, r = self._s, self.radius
+        a = max(0, s - r)
+        b = e + r if n_total is None else min(n_total, e + r)
+        res = flow_chunk_program(
+            jnp.asarray(self._frames_window(a, b)), jnp.int32(b - a), self.cfg
+        )
+        lo, hi = s - a, e - a
+        out = {k: np.asarray(res[k])[lo:hi] for k in self.KEYS}
+        self._s = e
+        drop = max(0, (self._s - r) - self._base)
+        if drop:
+            del self._buf[:drop]
+            self._base += drop
+        return out
+
+    def push(self, frames) -> list:
+        """Add decoded frames; returns a list of result dicts (maybe empty)."""
+        self._buf.extend(frames)
+        self._n_frames += len(frames)
+        out = []
+        B, r = self.cfg.pair_batch, self.radius
+        # pairs available so far: one per frame except the last
+        while self._n_frames - 1 >= self._s + B + r:
+            out.append(self._run(self._s + B, None))
+        return out
+
+    def flush(self) -> list:
+        """Video ended: emit remaining pairs with end-truncated smoothing."""
+        n_total = max(self._n_frames - 1, 0)
+        out = []
+        while self._s < n_total:
+            e = min(self._s + self.cfg.pair_batch, n_total)
+            out.append(self._run(e, n_total))
+        return out
+
+    @property
+    def pairs_emitted(self) -> int:
+        return self._s

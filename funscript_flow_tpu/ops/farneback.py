@@ -1,0 +1,264 @@
+"""Batched pyramidal Farnebäck dense optical flow in JAX.
+
+From-scratch implementation of the algorithm behind
+``cv2.calcOpticalFlowFarneback`` (Farnebäck 2003, "Two-Frame Motion
+Estimation Based on Polynomial Expansion"), numerically matched to OpenCV's
+behavior because the downstream center-of-motion argmax is winner-take-all
+(SURVEY.md §7 hard part (a)). The reference calls it with
+``pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5,
+poly_sigma=1.2, flags=0`` (reference: FunscriptFlow.pyw:878-879).
+
+TPU-first design: everything is batched over a leading ``B`` axis of frame
+pairs and built from statically-unrolled separable correlations, cumsum box
+filters, and one bilinear gather (the warp). A whole chunk of pairs runs as
+one compiled program; no per-pair host round trips.
+
+Matched OpenCV details (each verified against cv2 in tests/test_farneback.py):
+
+* pyramid: per-level Gaussian smooth of the *full-res* image with
+  ``sigma = (1/scale - 1) * 0.5``, ``ksize = rint(sigma*5) | 1`` (min 3),
+  then one bilinear resize to ``rint(size * scale)`` — not recursive pyrDown;
+* level count: scales ``pyr_scale^k`` are used while the scaled size stays
+  >= 32 px;
+* polynomial expansion: separable Gaussian-applicability correlation with
+  replicate borders; dual-basis inverse entries ig11/ig03/ig33/ig55 from the
+  6x6 Gramian;
+* flow update: bilinear warp of R1 coefficients (out-of-bounds pixels fall
+  back to frame-0 coefficients with zeroed residual), constraint matrices
+  attenuated in a 5-px border band, win x win replicate box blur (flags=0
+  path), regularized 2x2 solve with +1e-3 on the determinant;
+* schedule: per level, M is built once, then ``iterations`` x
+  (blur -> solve), rebuilding M between iterations but not after the last.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .image import box_blur, cv_round, gaussian_blur, resize_bilinear, sepconv
+
+__all__ = ["FarnebackConfig", "poly_exp", "update_matrices", "solve_flow", "farneback_flow"]
+
+_MIN_PYR_SIZE = 32
+_BORDER = 5
+_BORDER_SCALE = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
+
+
+class FarnebackConfig:
+    """Static flow parameters (compile-time constants)."""
+
+    def __init__(self, pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                 poly_n=5, poly_sigma=1.2):
+        self.pyr_scale = pyr_scale
+        self.levels = levels
+        self.winsize = winsize
+        self.iterations = iterations
+        self.poly_n = poly_n
+        self.poly_sigma = poly_sigma
+
+    def pyramid_plan(self, h: int, w: int):
+        """Per-level (scale, height, width, smooth_sigma, smooth_ksize),
+        coarsest first. Mirrors OpenCV's level-count clamp at 32 px."""
+        n_levels = 0
+        scale = 1.0
+        for k in range(self.levels):
+            scale *= self.pyr_scale
+            if w * scale < _MIN_PYR_SIZE or h * scale < _MIN_PYR_SIZE:
+                break
+            n_levels = k + 1
+        plan = []
+        for k in range(n_levels, -1, -1):
+            s = 1.0
+            for _ in range(k):
+                s *= self.pyr_scale
+            sigma = (1.0 / s - 1.0) * 0.5
+            ksize = max(cv_round(sigma * 5) | 1, 3)
+            plan.append((s, cv_round(h * s), cv_round(w * s), sigma, ksize))
+        return plan
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_exp_tables(poly_n: int, poly_sigma: float):
+    """1-D applicability kernels and dual-basis inverse Gramian entries.
+
+    Basis (1, x, y, x^2, y^2, xy) with separable Gaussian applicability;
+    G is the 6x6 Gramian; we need rows (1,1), (0,3), (3,3), (5,5) of G^-1.
+    """
+    n = poly_n
+    i = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(i * i) / (2.0 * poly_sigma * poly_sigma))
+    g /= g.sum()
+    xg = i * g
+    xxg = i * i * g
+
+    s2 = float((g * i * i).sum())
+    s4 = float((g * i ** 4).sum())
+    G = np.zeros((6, 6))
+    G[0, 0] = 1.0
+    G[1, 1] = G[2, 2] = s2
+    G[3, 3] = G[4, 4] = s4
+    G[5, 5] = s2 * s2
+    G[0, 3] = G[3, 0] = G[0, 4] = G[4, 0] = s2
+    G[3, 4] = G[4, 3] = s2 * s2
+    invG = np.linalg.inv(G)
+    ig = (invG[1, 1], invG[0, 3], invG[3, 3], invG[5, 5])
+    return g.astype(np.float32), xg.astype(np.float32), xxg.astype(np.float32), ig
+
+
+def poly_exp(img: jax.Array, poly_n: int, poly_sigma: float) -> jax.Array:
+    """Quadratic polynomial expansion coefficients per pixel.
+
+    img [B, H, W] float32 -> R [B, H, W, 5] = (bx, by, Axx, Ayy, Axy_doubled)
+    where the local model is f ~ c + b.x + x^T A x; channel 4 stores the xy
+    projection before the /2 that turns it into A's off-diagonal (the /2 is
+    folded into ``update_matrices``' 0.25 factor, as in OpenCV).
+    """
+    g, xg, xxg, (ig11, ig03, ig33, ig55) = _poly_exp_tables(poly_n, poly_sigma)
+
+    bc = sepconv(img, g, g)       # constant projection
+    bx = sepconv(img, g, xg)      # x-linear
+    by = sepconv(img, xg, g)      # y-linear
+    bxx = sepconv(img, g, xxg)    # x^2
+    byy = sepconv(img, xxg, g)    # y^2
+    bxy = sepconv(img, xg, xg)    # xy
+
+    return jnp.stack(
+        [
+            bx * ig11,
+            by * ig11,
+            bc * ig03 + bxx * ig33,
+            bc * ig03 + byy * ig33,
+            bxy * ig55,
+        ],
+        axis=-1,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _border_scale_map(h: int, w: int):
+    """[H, W] attenuation map for the 5-px border band (OpenCV's border[])."""
+    def axis_scale(n):
+        s = np.ones(n, dtype=np.float32)
+        for i in range(min(_BORDER, n)):
+            s[i] *= _BORDER_SCALE[i]
+            s[n - 1 - i] *= _BORDER_SCALE[i]
+        return s
+    return np.outer(axis_scale(h), axis_scale(w)).astype(np.float32)
+
+
+def update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array:
+    """Constraint matrices M [B, H, W, 5] = (G11, G12, G22, h1, h2).
+
+    Warps R1 by the current flow (bilinear; out-of-bounds keeps frame-0
+    coefficients with zero residual), averages the quadratic terms, forms the
+    displacement-compensated residual, attenuates the border band, and emits
+    the normal-equation products for the 2x2 solve.
+    """
+    B, H, W, _ = R0.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    fx = xs[None] + flow[..., 0]
+    fy = ys[None] + flow[..., 1]
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    wx = fx - x1
+    wy = fy - y1
+    x1i = x1.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
+    inb = (x1i >= 0) & (x1i < W - 1) & (y1i >= 0) & (y1i < H - 1)
+
+    x0c = jnp.clip(x1i, 0, W - 1)
+    y0c = jnp.clip(y1i, 0, H - 1)
+    x1c = jnp.clip(x1i + 1, 0, W - 1)
+    y1c = jnp.clip(y1i + 1, 0, H - 1)
+
+    R1f = R1.reshape(B, H * W, 5)
+
+    def gather(yy, xx):
+        idx = (yy * W + xx).reshape(B, H * W)
+        return jnp.take_along_axis(R1f, idx[..., None], axis=1).reshape(B, H, W, 5)
+
+    a00 = ((1 - wx) * (1 - wy))[..., None]
+    a01 = (wx * (1 - wy))[..., None]
+    a10 = ((1 - wx) * wy)[..., None]
+    a11 = (wx * wy)[..., None]
+    Rw = (gather(y0c, x0c) * a00 + gather(y0c, x1c) * a01 +
+          gather(y1c, x0c) * a10 + gather(y1c, x1c) * a11)
+
+    inbf = inb[..., None]
+    r2 = jnp.where(inbf[..., 0], Rw[..., 0], 0.0)
+    r3 = jnp.where(inbf[..., 0], Rw[..., 1], 0.0)
+    r4 = jnp.where(inbf[..., 0], (R0[..., 2] + Rw[..., 2]) * 0.5, R0[..., 2])
+    r5 = jnp.where(inbf[..., 0], (R0[..., 3] + Rw[..., 3]) * 0.5, R0[..., 3])
+    r6 = jnp.where(inbf[..., 0], (R0[..., 4] + Rw[..., 4]) * 0.25, R0[..., 4] * 0.5)
+
+    r2 = (R0[..., 0] - r2) * 0.5
+    r3 = (R0[..., 1] - r3) * 0.5
+    r2 = r2 + r4 * flow[..., 0] + r6 * flow[..., 1]
+    r3 = r3 + r6 * flow[..., 0] + r5 * flow[..., 1]
+
+    scale = jnp.asarray(_border_scale_map(H, W))[None]
+    r2, r3, r4, r5, r6 = (r * scale for r in (r2, r3, r4, r5, r6))
+
+    return jnp.stack(
+        [
+            r4 * r4 + r6 * r6,
+            (r4 + r5) * r6,
+            r5 * r5 + r6 * r6,
+            r4 * r2 + r6 * r3,
+            r6 * r2 + r5 * r3,
+        ],
+        axis=-1,
+    )
+
+
+def solve_flow(M: jax.Array, winsize: int) -> jax.Array:
+    """Box-blur the constraint matrices and solve the regularized 2x2 system.
+
+    flow [B, H, W, 2]; OpenCV's flags=0 path: replicate-border mean filter of
+    ``winsize``, then [G11 G12; G12 G22] [u v]^T = [h1 h2]^T with det + 1e-3.
+    """
+    Mb = box_blur(jnp.moveaxis(M, -1, 1), winsize)  # [B, 5, H, W]
+    g11, g12, g22, h1, h2 = (Mb[:, i] for i in range(5))
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    u = (g22 * h1 - g12 * h2) * idet
+    v = (g11 * h2 - g12 * h1) * idet
+    return jnp.stack([u, v], axis=-1)
+
+
+def farneback_flow(f0: jax.Array, f1: jax.Array, cfg: FarnebackConfig | None = None) -> jax.Array:
+    """Dense flow for a batch of grayscale frame pairs.
+
+    f0, f1: [B, H, W] uint8 or float32. Returns [B, H, W, 2] float32 flow in
+    pixels (x, y), matching cv2.calcOpticalFlowFarneback(..., flags=0).
+    """
+    cfg = cfg or FarnebackConfig()
+    f0 = f0.astype(jnp.float32)
+    f1 = f1.astype(jnp.float32)
+    B, H, W = f0.shape
+    plan = cfg.pyramid_plan(H, W)
+
+    flow = None
+    for (s, lh, lw, sigma, ksize) in plan:
+        i0 = resize_bilinear(gaussian_blur(f0, ksize, sigma), lh, lw)
+        i1 = resize_bilinear(gaussian_blur(f1, ksize, sigma), lh, lw)
+        R0 = poly_exp(i0, cfg.poly_n, cfg.poly_sigma)
+        R1 = poly_exp(i1, cfg.poly_n, cfg.poly_sigma)
+
+        if flow is None:
+            flow = jnp.zeros((B, lh, lw, 2), jnp.float32)
+        else:
+            flow = jnp.moveaxis(
+                resize_bilinear(jnp.moveaxis(flow, -1, 1), lh, lw), 1, -1
+            ) * (1.0 / cfg.pyr_scale)
+
+        M = update_matrices(R0, R1, flow)
+        for i in range(cfg.iterations):
+            flow = solve_flow(M, cfg.winsize)
+            if i < cfg.iterations - 1:
+                M = update_matrices(R0, R1, flow)
+    return flow

@@ -1,0 +1,224 @@
+"""Per-video driver + headless batch runner.
+
+The TPU counterpart of the reference's ``process_video`` / ``run_headless``
+(FunscriptFlow.pyw:1094-1404, 2606-2638): decode streams on a prefetch
+thread, frame windows flow through one compiled device program
+(models.pipeline), per-pair scalars accumulate on host, and the whole-video
+signal chain emits the funscript.
+
+Behavioral deltas from the reference, each deliberate and documented:
+
+* chunk-boundary pairs are computed and center smoothing crosses chunk
+  edges (reference defect, SURVEY.md §5);
+* a video with < 2 sampled frames logs an error instead of crashing
+  (reference would IndexError at :1268);
+* decode is sequential, not seek-per-frame (io.decode docstring).
+
+Failure semantics match: per-video isolation — any error logs and moves on,
+aggregated into the returned ``error_occurred`` flag (:1115-1125); cancel is
+polled between device batches (:1146-1148).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from .io import decode as iodec
+from .io.funscript import funscript_path, write_funscript
+from .models.pipeline import PipelineConfig, StreamingFlowAnalyzer
+from .ops import signal_host
+from .ops.signal import DISCONTINUITY_THRESHOLD, signal_chain_device
+from .utils.logging import StageTimers
+from .utils.params import Params
+from .utils.strings import STRINGS
+
+__all__ = ["process_video", "run_headless", "compute_actions"]
+
+
+def _bucket_length(n: int, minimum: int = 256) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
+                    log_func=lambda m: None):
+    """Whole-video signal chain -> funscript actions.
+
+    Window sizes derive from the effective fps (reference :1287, :1335).
+    ``signal_backend='auto'`` runs the chain on device except for the exact
+    cases the static-shape path doesn't cover (tiny signals, cumulative-flow
+    discontinuities — see ops.signal docstring).
+    """
+    n = len(dots)
+    detrend_win = int(params.detrend_window * effective_fps)
+    norm_win = int(params.norm_window * effective_fps)
+
+    backend = params.signal_backend
+    if backend == "auto":
+        if n < 32 or detrend_win < 2:
+            backend = "host"
+        else:
+            cum = signal_host.integrate_flow(dots, cuts)
+            backend = "host" if (
+                np.abs(np.diff(cum)) > DISCONTINUITY_THRESHOLD
+            ).any() else "device"
+
+    if backend == "device":
+        import jax.numpy as jnp
+
+        P = _bucket_length(n)
+        dpad = np.zeros(P, np.float32)
+        dpad[:n] = dots
+        cpad = np.zeros(P, bool)
+        cpad[:n] = cuts
+        norm, mask = signal_chain_device(
+            jnp.asarray(dpad), jnp.asarray(cpad), jnp.int32(n), detrend_win, norm_win
+        )
+        norm = np.asarray(norm, dtype=np.float64)[:n]
+        if params.keyframe_reduction:
+            idx = list(np.nonzero(np.asarray(mask)[:n])[0])
+            if n == 1:
+                idx = [0, 0]  # reference quirk (:1367,:1374)
+        else:
+            idx = range(n)
+        actions = []
+        for ki in idx:
+            try:
+                actions.append({
+                    "at": int((time_stamps[ki] / fps) * 1000),
+                    "pos": 100 - int(round(norm[ki])),
+                })
+            except Exception as e:
+                log_func(f"Error computing action at segment index {ki}: {e}")
+        return actions, norm
+    else:
+        return signal_host.signal_chain(
+            dots, cuts, time_stamps, fps, detrend_win, norm_win,
+            params.keyframe_reduction,
+        )[0:2]
+
+
+def process_video(video_path: str, params: Params, log_func,
+                  progress_callback=None, cancel_flag=None) -> bool:
+    """Process one video into a ``.funscript``. Returns error_occurred."""
+    start_time = time.time()
+    output_path = funscript_path(video_path)
+    if os.path.exists(output_path) and not params.overwrite:
+        log_func(STRINGS["skipping_exists"].format(output_path=output_path))
+        return False
+
+    try:
+        log_func(f"Processing video: {video_path}")
+        meta = iodec.probe(video_path)
+    except Exception as e:
+        log_func(f"ERROR: Unable to open video at {video_path}: {e}")
+        return True
+
+    n_samples = len(meta.sampled_indices)
+    log_func(
+        f"FPS: {meta.fps:.2f}; downsampled to ~{meta.effective_fps:.2f} fps; "
+        f"{n_samples} frames selected."
+    )
+    log_func(f"Using backend: {params.backend}")
+    if n_samples < 2:
+        log_func(STRINGS["video_too_short"].format(n=n_samples))
+        return True
+
+    cfg = PipelineConfig(
+        pov_mode=params.pov_mode,
+        cut_threshold=params.cut_threshold,
+        pair_batch=params.pair_batch,
+    )
+    analyzer = StreamingFlowAnalyzer(cfg)
+    source = iodec.PrefetchingFrameSource(
+        video_path, meta, params.vr_mode, cancel_flag=cancel_flag
+    )
+
+    results = []
+    n_pairs_total = n_samples - 1
+    timers = StageTimers()
+    try:
+        while True:
+            if cancel_flag is not None and cancel_flag():
+                log_func(STRINGS["user_cancelled"])
+                return False
+            with timers.stage("decode_wait"):
+                batch = source.get_batch(cfg.pair_batch)
+            with timers.stage("device_compute"):
+                if batch:
+                    results.extend(analyzer.push(batch))
+                else:
+                    results.extend(analyzer.flush())
+                    break
+            if progress_callback is not None:
+                progress_callback(min(100, int(100 * analyzer.pairs_emitted / max(1, n_pairs_total))))
+    except Exception as e:
+        log_func(f"ERROR: analysis failed for {video_path}: {e}")
+        return True
+    finally:
+        source.close()
+
+    n_pairs = analyzer.pairs_emitted
+    if n_pairs < 1:
+        log_func(f"ERROR: no frame pairs decoded for {video_path}.")
+        return True
+
+    dots = np.concatenate([r["dots"] for r in results])[:n_pairs]
+    cuts = np.concatenate([r["cuts"] for r in results])[:n_pairs]
+    time_stamps = np.arange(n_pairs) * meta.step  # original frame indices (:1151)
+
+    error_occurred = False
+    actions, _norm = compute_actions(
+        dots, cuts, time_stamps, meta.fps, meta.effective_fps, params, log_func
+    )
+    log_func(f"Keyframe reduction: {len(actions)} actions computed.")
+    try:
+        write_funscript(output_path, actions)
+        log_func(STRINGS["funscript_saved"].format(output_path=output_path))
+    except Exception as e:
+        log_func(STRINGS["log_error"].format(error=str(e)))
+        error_occurred = True
+
+    if progress_callback is not None:
+        progress_callback(100)
+    t = timers.report()
+    log_func(
+        f"Stage timers: decode_wait={t.get('decode_wait', 0):.2f}s "
+        f"device_compute={t.get('device_compute', 0):.2f}s"
+    )
+    log_func(f"Processing time: {time.time() - start_time:.2f} seconds")
+    return error_occurred
+
+
+def run_headless(input_path: str, params: Params, log_path: str = "run.log",
+                 progress_callback=None) -> bool:
+    """Folder/file batch runner with run.log tee (reference :2606-2638)."""
+    logf = open(log_path, "w")
+
+    def log_func(msg):
+        logf.write(msg + "\n")
+        logf.flush()
+        print(msg)
+
+    try:
+        files = iodec.find_videos(input_path)
+        if not files:
+            log_func("No video files found.")
+            return False
+        log_func(STRINGS["found_files"].format(n=len(files)))
+        any_error = False
+        for idx, video in enumerate(files):
+            log_func(STRINGS["processing_file"].format(current=idx + 1, total=len(files), video_path=video))
+            any_error |= process_video(
+                video, params, log_func, progress_callback=progress_callback
+            )
+        log_func(STRINGS["batch_processing_complete"])
+        return any_error
+    finally:
+        logf.close()
+        print(f"Done. See {log_path} for details.")

@@ -1,0 +1,51 @@
+"""Run parameters — the framework's config surface.
+
+Mirrors the reference's settings dict (FunscriptFlow.pyw:2654-2664) plus the
+undocumented ``cut_threshold`` config key (:858,876) and TPU-specific knobs.
+CLI defaults match the reference CLI (:2644-2652); note the reference GUI
+used different defaults (detrend 1.5, norm 4 — SURVEY.md §2.1 #22), which we
+do not replicate: one set of defaults, the CLI's.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict, fields
+
+__all__ = ["Params"]
+
+# reference backend names accepted for drop-in compatibility; all map to the
+# TPU device path (the reference silently falls back CPU<-GPU, :858-874; we
+# "fall forward" to the device)
+_BACKEND_ALIASES = {"CPU": "TPU", "CUDA": "TPU", "OPENCL": "TPU", "DNN": "DIS"}
+
+
+@dataclass
+class Params:
+    threads: int = 8                 # host decode concurrency (reference :2644)
+    detrend_window: float = 2.0      # seconds (reference :2645)
+    norm_window: float = 3.0         # seconds (reference :2646)
+    batch_size: int = 3000           # frames per host bracket (reference :2647)
+    overwrite: bool = False
+    vr_mode: bool = False
+    pov_mode: bool = False
+    keyframe_reduction: bool = True
+    backend: str = "TPU"             # TPU | DIS (+ reference aliases)
+    cut_threshold: float = 7.0       # config-only key in the reference (:876)
+    signal_backend: str = "auto"     # auto | host | device
+    pair_batch: int = 240            # device micro-batch of frame pairs
+
+    def __post_init__(self):
+        b = str(self.backend).upper()
+        self.backend = _BACKEND_ALIASES.get(b, b)
+        if self.backend not in ("TPU", "DIS"):
+            raise ValueError(f"Unknown backend: {self.backend}")
+        if self.signal_backend not in ("auto", "host", "device"):
+            raise ValueError(f"Unknown signal_backend: {self.signal_backend}")
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Params":
+        known = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def to_dict(self) -> dict:
+        return asdict(self)

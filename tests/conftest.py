@@ -12,7 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session platform is the real TPU (axon): numerics
+# tests want f64-capable CPU and the virtual 8-device mesh. The axon plugin
+# ignores the JAX_PLATFORMS env var, so set the config flag directly too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

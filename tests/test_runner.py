@@ -1,0 +1,154 @@
+"""End-to-end: synthetic video file -> CLI/runner -> .funscript, vs the
+reference transcription (decode + flow + signal, all oracle-side)."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import reference_cv as ref
+from funscript_flow_tpu.io import decode as iodec
+from funscript_flow_tpu.io.funscript import load_funscript
+from funscript_flow_tpu.ops import signal_host
+from funscript_flow_tpu.runner import process_video, run_headless
+from funscript_flow_tpu.utils.params import Params
+
+
+FPS = 30
+
+
+def write_video(path, frames_rgb, fps=FPS):
+    h, w = frames_rgb[0].shape[:2]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert vw.isOpened()
+    for f in frames_rgb:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    """Synthetic 64-frame 320x240 clip with known oscillating zoom + a cut."""
+    d = tmp_path_factory.mktemp("videos")
+    frames = ref.make_synthetic_frames(64, h=240, w=320, period=16, seed=11, cuts=(32,))
+    p = d / "clip.mp4"
+    write_video(p, frames)
+    return str(p)
+
+
+def reference_funscript(video_path, params: Params):
+    """Oracle: decode like the runner, then run the cv2 transcription +
+    float64 host signal chain."""
+    meta = iodec.probe(video_path)
+    frames = list(iodec.sampled_frames(video_path, meta))
+    gray = [ref.rgb_to_gray(f) for f in frames]
+    res = ref.analyze_pairs(gray, params.pov_mode, params.cut_threshold)
+    ts = np.arange(len(gray) - 1) * meta.step
+    actions, norm = signal_host.signal_chain(
+        res["dots"], res["cuts"], ts, meta.fps,
+        int(params.detrend_window * meta.effective_fps),
+        int(params.norm_window * meta.effective_fps),
+        params.keyframe_reduction,
+    )
+    return actions, norm
+
+
+def test_process_video_end_to_end(clip):
+    params = Params(overwrite=True, signal_backend="host", pair_batch=24)
+    logs = []
+    err = process_video(clip, params, logs.append)
+    assert not err, logs
+    out = load_funscript(clip.replace(".mp4", ".funscript"))
+    assert out["version"] == "1.0"
+    got = out["actions"]
+    want, _ = reference_funscript(clip, params)
+
+    # timestamps must be identical (same sampling grid); positions within
+    # the +/-2 tolerance of BASELINE.md (flow argmax is winner-take-all, so
+    # individual centers may differ; temporal smoothing bounds the effect)
+    assert [a["at"] for a in got] == [a["at"] for a in want]
+    dpos = np.abs(np.array([a["pos"] for a in got]) - np.array([a["pos"] for a in want]))
+    assert dpos.max() <= 2, f"max pos delta {dpos.max()}"
+
+
+def test_process_video_device_signal_close_to_host(clip):
+    params = Params(overwrite=True, signal_backend="device", pair_batch=24)
+    err = process_video(clip, params, lambda m: None)
+    assert not err
+    got = load_funscript(clip.replace(".mp4", ".funscript"))["actions"]
+    want, _ = reference_funscript(clip, Params(signal_backend="host"))
+    # device chain is float32: allow +/-1 extra position unit and identical times
+    assert [a["at"] for a in got] == [a["at"] for a in want]
+    dpos = np.abs(np.array([a["pos"] for a in got]) - np.array([a["pos"] for a in want]))
+    assert dpos.max() <= 3
+
+
+def test_skip_existing_without_overwrite(clip, tmp_path):
+    out_path = clip.replace(".mp4", ".funscript")
+    assert os.path.exists(out_path)
+    before = os.path.getmtime(out_path)
+    logs = []
+    err = process_video(clip, Params(overwrite=False), logs.append)
+    assert not err
+    assert any("Skipping" in m for m in logs)
+    assert os.path.getmtime(out_path) == before
+
+
+def test_unreadable_file_is_isolated(tmp_path):
+    bad = tmp_path / "nope.mp4"
+    bad.write_bytes(b"not a video")
+    logs = []
+    err = process_video(str(bad), Params(), logs.append)
+    assert err
+    assert any("ERROR" in m for m in logs)
+
+
+def test_too_short_video_errors_cleanly(tmp_path):
+    frames = ref.make_synthetic_frames(1, h=64, w=64)
+    p = tmp_path / "one.mp4"
+    write_video(p, frames)
+    logs = []
+    err = process_video(str(p), Params(), logs.append)
+    assert err
+    assert any("too short" in m.lower() for m in logs)
+
+
+def test_run_headless_folder(tmp_path, clip):
+    d = tmp_path / "lib" / "sub"
+    d.mkdir(parents=True)
+    frames = ref.make_synthetic_frames(24, h=64, w=64, period=8, seed=2)
+    write_video(d / "a.mp4", frames)
+    write_video(tmp_path / "lib" / "b.mp4", frames)
+    (tmp_path / "lib" / "ignore.txt").write_text("x")
+    log = tmp_path / "run.log"
+    err = run_headless(str(tmp_path / "lib"), Params(pair_batch=16), log_path=str(log))
+    assert not err
+    assert (d / "a.funscript").exists()
+    assert (tmp_path / "lib" / "b.funscript").exists()
+    text = log.read_text()
+    assert "Found 2 file(s)." in text and "Batch processing complete." in text
+
+
+def test_decode_matches_seek_based_sampling(clip):
+    """Sequential grab/retrieve sampling must yield the reference's frames
+    (seek to POS_FRAMES=idx for idx in range(0, total, step))."""
+    meta = iodec.probe(clip)
+    seq = list(iodec.sampled_frames(clip, meta))
+    cap = cv2.VideoCapture(clip)
+    for idx, got in zip(meta.sampled_indices, seq):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+        ok, frame = cap.read()
+        assert ok
+        want = iodec.preprocess_frame(frame, False)
+        np.testing.assert_array_equal(got, want)
+    cap.release()
+
+
+def test_vr_preprocess_crop():
+    f = np.zeros((400, 800, 3), np.uint8)
+    f[200:, :400] = 255  # bottom-left quadrant bright
+    out = iodec.preprocess_frame(f, vr_mode=True)
+    assert out.shape == (256, 256, 3)
+    assert out.mean() > 200  # crop picked the bright quadrant

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.farneback import FarnebackConfig, farneback_flow
+from ..ops.farneback import FarnebackConfig, farneback_flow_planes
 from ..ops.reductions import (
     CENTER_SMOOTH_RADIUS,
     max_divergence_center,
@@ -87,7 +87,7 @@ def flow_chunk_program(frames: jax.Array, n_pairs: jax.Array, cfg: PipelineConfi
     """
     gray = rgb_to_gray_cv(frames)
     f0, f1 = gray[:-1], gray[1:]
-    flow = farneback_flow(f0, f1, cfg.farneback())
+    u, v = farneback_flow_planes(f0, f1, cfg.farneback())
 
     B, H, W = f0.shape
     if cfg.pov_mode:
@@ -96,13 +96,13 @@ def flow_chunk_program(frames: jax.Array, n_pairs: jax.Array, cfg: PipelineConfi
         )
         val_pos = jnp.zeros((B,), jnp.float32)
     else:
-        centers, val_pos = max_divergence_center(flow)
+        centers, val_pos = max_divergence_center(u, v)
 
-    mean_mag = mean_flow_magnitude(flow)
+    mean_mag = mean_flow_magnitude(u, v)
     cuts = mean_mag > cfg.cut_threshold
 
     sm_centers = smooth_centers(centers, n_pairs)
-    dots = radial_motion_weighted(flow, sm_centers, cuts, cfg.pov_mode)
+    dots = radial_motion_weighted(u, v, sm_centers, cuts, cfg.pov_mode)
 
     valid = jnp.arange(B) < n_pairs
     return {

@@ -8,10 +8,19 @@ behavior because the downstream center-of-motion argmax is winner-take-all
 ``pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5,
 poly_sigma=1.2, flags=0`` (reference: FunscriptFlow.pyw:878-879).
 
-TPU-first design: everything is batched over a leading ``B`` axis of frame
-pairs and built from statically-unrolled separable correlations, cumsum box
-filters, and one bilinear gather (the warp). A whole chunk of pairs runs as
-one compiled program; no per-pair host round trips.
+TPU-first design notes:
+
+* batched over a leading ``B`` axis of frame pairs; one compiled program per
+  micro-batch, no per-pair host round trips;
+* **plane layout**: polynomial coefficients, constraint matrices, and flow
+  travel as tuples of ``[B, H, W]`` planes, never ``[..., 5]``-channel
+  tensors — TPU tiles the trailing two axes (8 x 128), so a trailing
+  5-channel axis would waste ~96% of every vector lane;
+* separable correlations / blurs are statically unrolled shifted-slice sums
+  (pure VPU, fused by XLA); the win x win box filter is tap sums, not
+  cumsum (a lane-axis cumsum serializes on TPU);
+* the only irregular op is the bilinear warp gather, isolated in
+  ``_warp_bilinear`` so it can be swapped for a Pallas kernel.
 
 Matched OpenCV details (each verified against cv2 in tests/test_farneback.py):
 
@@ -109,13 +118,14 @@ def _poly_exp_tables(poly_n: int, poly_sigma: float):
     return g.astype(np.float32), xg.astype(np.float32), xxg.astype(np.float32), ig
 
 
-def poly_exp(img: jax.Array, poly_n: int, poly_sigma: float) -> jax.Array:
+def poly_exp(img: jax.Array, poly_n: int, poly_sigma: float):
     """Quadratic polynomial expansion coefficients per pixel.
 
-    img [B, H, W] float32 -> R [B, H, W, 5] = (bx, by, Axx, Ayy, Axy_doubled)
-    where the local model is f ~ c + b.x + x^T A x; channel 4 stores the xy
-    projection before the /2 that turns it into A's off-diagonal (the /2 is
-    folded into ``update_matrices``' 0.25 factor, as in OpenCV).
+    img [B, H, W] float32 -> tuple of 5 planes (bx, by, Axx, Ayy, Axy2),
+    each [B, H, W]; the local model is f ~ c + b.x + x^T A x. The Axy2 plane
+    stores the xy projection before the /2 that turns it into A's
+    off-diagonal (the /2 is folded into ``update_matrices``' 0.25 factor, as
+    in OpenCV).
     """
     g, xg, xxg, (ig11, ig03, ig33, ig55) = _poly_exp_tables(poly_n, poly_sigma)
 
@@ -126,15 +136,12 @@ def poly_exp(img: jax.Array, poly_n: int, poly_sigma: float) -> jax.Array:
     byy = sepconv(img, xxg, g)    # y^2
     bxy = sepconv(img, xg, xg)    # xy
 
-    return jnp.stack(
-        [
-            bx * ig11,
-            by * ig11,
-            bc * ig03 + bxx * ig33,
-            bc * ig03 + byy * ig33,
-            bxy * ig55,
-        ],
-        axis=-1,
+    return (
+        bx * ig11,
+        by * ig11,
+        bc * ig03 + bxx * ig33,
+        bc * ig03 + byy * ig33,
+        bxy * ig55,
     )
 
 
@@ -150,19 +157,18 @@ def _border_scale_map(h: int, w: int):
     return np.outer(axis_scale(h), axis_scale(w)).astype(np.float32)
 
 
-def update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array:
-    """Constraint matrices M [B, H, W, 5] = (G11, G12, G22, h1, h2).
+def _warp_bilinear(planes, u: jax.Array, v: jax.Array):
+    """Sample each [B, H, W] plane at (x + u, y + v), bilinear.
 
-    Warps R1 by the current flow (bilinear; out-of-bounds keeps frame-0
-    coefficients with zero residual), averages the quadratic terms, forms the
-    displacement-compensated residual, attenuates the border band, and emits
-    the normal-equation products for the 2x2 solve.
+    Returns (warped_planes, in_bounds_mask). Out-of-bounds = OpenCV's
+    condition: floor coords outside [0, dim-2]. This is the one gather in
+    the whole flow program; indices are shared across the 5 planes.
     """
-    B, H, W, _ = R0.shape
+    B, H, W = u.shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    fx = xs[None] + flow[..., 0]
-    fy = ys[None] + flow[..., 1]
+    fx = xs[None] + u
+    fy = ys[None] + v
     x1 = jnp.floor(fx)
     y1 = jnp.floor(fy)
     wx = fx - x1
@@ -176,58 +182,78 @@ def update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array:
     x1c = jnp.clip(x1i + 1, 0, W - 1)
     y1c = jnp.clip(y1i + 1, 0, H - 1)
 
-    R1f = R1.reshape(B, H * W, 5)
+    idx00 = (y0c * W + x0c).reshape(B, H * W)
+    idx01 = (y0c * W + x1c).reshape(B, H * W)
+    idx10 = (y1c * W + x0c).reshape(B, H * W)
+    idx11 = (y1c * W + x1c).reshape(B, H * W)
+    a00 = (1 - wx) * (1 - wy)
+    a01 = wx * (1 - wy)
+    a10 = (1 - wx) * wy
+    a11 = wx * wy
 
-    def gather(yy, xx):
-        idx = (yy * W + xx).reshape(B, H * W)
-        return jnp.take_along_axis(R1f, idx[..., None], axis=1).reshape(B, H, W, 5)
+    # Pack the planes into one [B, H*W, P] operand so each corner is a single
+    # gather with a P-element contiguous slice — one fat gather moves the
+    # same bytes as P thin ones at a fraction of the index-processing cost.
+    n_p = len(planes)
+    packed = jnp.stack([p.reshape(B, H * W) for p in planes], axis=-1)
 
-    a00 = ((1 - wx) * (1 - wy))[..., None]
-    a01 = (wx * (1 - wy))[..., None]
-    a10 = ((1 - wx) * wy)[..., None]
-    a11 = (wx * wy)[..., None]
-    Rw = (gather(y0c, x0c) * a00 + gather(y0c, x1c) * a01 +
-          gather(y1c, x0c) * a10 + gather(y1c, x1c) * a11)
+    def corner(idx):
+        return jnp.take_along_axis(packed, idx[..., None], axis=1)  # [B, HW, P]
 
-    inbf = inb[..., None]
-    r2 = jnp.where(inbf[..., 0], Rw[..., 0], 0.0)
-    r3 = jnp.where(inbf[..., 0], Rw[..., 1], 0.0)
-    r4 = jnp.where(inbf[..., 0], (R0[..., 2] + Rw[..., 2]) * 0.5, R0[..., 2])
-    r5 = jnp.where(inbf[..., 0], (R0[..., 3] + Rw[..., 3]) * 0.5, R0[..., 3])
-    r6 = jnp.where(inbf[..., 0], (R0[..., 4] + Rw[..., 4]) * 0.25, R0[..., 4] * 0.5)
+    g = (corner(idx00) * a00.reshape(B, H * W, 1)
+         + corner(idx01) * a01.reshape(B, H * W, 1)
+         + corner(idx10) * a10.reshape(B, H * W, 1)
+         + corner(idx11) * a11.reshape(B, H * W, 1))
+    out = tuple(g[..., k].reshape(B, H, W) for k in range(n_p))
+    return out, inb
 
-    r2 = (R0[..., 0] - r2) * 0.5
-    r3 = (R0[..., 1] - r3) * 0.5
-    r2 = r2 + r4 * flow[..., 0] + r6 * flow[..., 1]
-    r3 = r3 + r6 * flow[..., 0] + r5 * flow[..., 1]
+
+def update_matrices(R0, R1, u: jax.Array, v: jax.Array):
+    """Constraint-matrix planes (G11, G12, G22, h1, h2), each [B, H, W].
+
+    Warps R1 by the current flow (bilinear; out-of-bounds keeps frame-0
+    coefficients with zero residual), averages the quadratic terms, forms the
+    displacement-compensated residual, attenuates the border band, and emits
+    the normal-equation products for the 2x2 solve.
+    """
+    H, W = u.shape[1], u.shape[2]
+    (w0, w1, w2, w3, w4), inb = _warp_bilinear(R1, u, v)
+
+    r2 = jnp.where(inb, w0, 0.0)
+    r3 = jnp.where(inb, w1, 0.0)
+    r4 = jnp.where(inb, (R0[2] + w2) * 0.5, R0[2])
+    r5 = jnp.where(inb, (R0[3] + w3) * 0.5, R0[3])
+    r6 = jnp.where(inb, (R0[4] + w4) * 0.25, R0[4] * 0.5)
+
+    r2 = (R0[0] - r2) * 0.5
+    r3 = (R0[1] - r3) * 0.5
+    r2 = r2 + r4 * u + r6 * v
+    r3 = r3 + r6 * u + r5 * v
 
     scale = jnp.asarray(_border_scale_map(H, W))[None]
     r2, r3, r4, r5, r6 = (r * scale for r in (r2, r3, r4, r5, r6))
 
-    return jnp.stack(
-        [
-            r4 * r4 + r6 * r6,
-            (r4 + r5) * r6,
-            r5 * r5 + r6 * r6,
-            r4 * r2 + r6 * r3,
-            r6 * r2 + r5 * r3,
-        ],
-        axis=-1,
+    return (
+        r4 * r4 + r6 * r6,
+        (r4 + r5) * r6,
+        r5 * r5 + r6 * r6,
+        r4 * r2 + r6 * r3,
+        r6 * r2 + r5 * r3,
     )
 
 
-def solve_flow(M: jax.Array, winsize: int) -> jax.Array:
-    """Box-blur the constraint matrices and solve the regularized 2x2 system.
+def solve_flow(M, winsize: int):
+    """Box-blur the constraint planes and solve the regularized 2x2 system.
 
-    flow [B, H, W, 2]; OpenCV's flags=0 path: replicate-border mean filter of
-    ``winsize``, then [G11 G12; G12 G22] [u v]^T = [h1 h2]^T with det + 1e-3.
+    Returns (u, v) planes; OpenCV's flags=0 path: replicate-border mean
+    filter of ``winsize``, then [G11 G12; G12 G22] [u v]^T = [h1 h2]^T with
+    det + 1e-3.
     """
-    Mb = box_blur(jnp.moveaxis(M, -1, 1), winsize)  # [B, 5, H, W]
-    g11, g12, g22, h1, h2 = (Mb[:, i] for i in range(5))
+    g11, g12, g22, h1, h2 = (box_blur(m, winsize) for m in M)
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     u = (g22 * h1 - g12 * h2) * idet
     v = (g11 * h2 - g12 * h1) * idet
-    return jnp.stack([u, v], axis=-1)
+    return u, v
 
 
 def farneback_flow(f0: jax.Array, f1: jax.Array, cfg: FarnebackConfig | None = None) -> jax.Array:
@@ -236,29 +262,37 @@ def farneback_flow(f0: jax.Array, f1: jax.Array, cfg: FarnebackConfig | None = N
     f0, f1: [B, H, W] uint8 or float32. Returns [B, H, W, 2] float32 flow in
     pixels (x, y), matching cv2.calcOpticalFlowFarneback(..., flags=0).
     """
+    u, v = farneback_flow_planes(f0, f1, cfg)
+    return jnp.stack([u, v], axis=-1)
+
+
+def farneback_flow_planes(f0: jax.Array, f1: jax.Array,
+                          cfg: FarnebackConfig | None = None):
+    """Plane-layout variant: returns (u, v), each [B, H, W] float32."""
     cfg = cfg or FarnebackConfig()
     f0 = f0.astype(jnp.float32)
     f1 = f1.astype(jnp.float32)
     B, H, W = f0.shape
     plan = cfg.pyramid_plan(H, W)
 
-    flow = None
+    u = v = None
     for (s, lh, lw, sigma, ksize) in plan:
         i0 = resize_bilinear(gaussian_blur(f0, ksize, sigma), lh, lw)
         i1 = resize_bilinear(gaussian_blur(f1, ksize, sigma), lh, lw)
         R0 = poly_exp(i0, cfg.poly_n, cfg.poly_sigma)
         R1 = poly_exp(i1, cfg.poly_n, cfg.poly_sigma)
 
-        if flow is None:
-            flow = jnp.zeros((B, lh, lw, 2), jnp.float32)
+        if u is None:
+            u = jnp.zeros((B, lh, lw), jnp.float32)
+            v = jnp.zeros((B, lh, lw), jnp.float32)
         else:
-            flow = jnp.moveaxis(
-                resize_bilinear(jnp.moveaxis(flow, -1, 1), lh, lw), 1, -1
-            ) * (1.0 / cfg.pyr_scale)
+            inv = 1.0 / cfg.pyr_scale
+            u = resize_bilinear(u, lh, lw) * inv
+            v = resize_bilinear(v, lh, lw) * inv
 
-        M = update_matrices(R0, R1, flow)
+        M = update_matrices(R0, R1, u, v)
         for i in range(cfg.iterations):
-            flow = solve_flow(M, cfg.winsize)
+            u, v = solve_flow(M, cfg.winsize)
             if i < cfg.iterations - 1:
-                M = update_matrices(R0, R1, flow)
-    return flow
+                M = update_matrices(R0, R1, u, v)
+    return u, v

@@ -108,25 +108,16 @@ def gaussian_blur(x: jax.Array, ksize: int, sigma: float) -> jax.Array:
 
 
 def box_blur(x: jax.Array, win: int) -> jax.Array:
-    """Replicate-border mean filter of odd width ``win`` via cumulative sums.
+    """Replicate-border mean filter of odd width ``win``.
 
     Matches the running-sum blur inside OpenCV's Farneback flow update
     (flags=0 path): every output is the mean of a full win x win replicated
-    window.
+    window. Implemented as an unrolled separable tap sum — on TPU a cumsum
+    along the lane (last) axis serializes horribly, while ``win`` shifted
+    adds stay fully vectorized on the VPU.
     """
-    r = win // 2
-
-    def blur_axis(v, axis):
-        vp = _pad_1d(v, axis, r, r, "replicate")
-        cs = jnp.cumsum(vp, axis=axis)
-        n = v.shape[axis]
-        hi = jax.lax.slice_in_dim(cs, win - 1, win - 1 + n, axis=axis)
-        # windowed sum = cs[i+win-1] - cs[i-1]; cs[i-1] = cs[i] - vp[i]
-        lo = jax.lax.slice_in_dim(cs, 0, n, axis=axis) - jax.lax.slice_in_dim(vp, 0, n, axis=axis)
-        return hi - lo
-
-    out = blur_axis(blur_axis(x, x.ndim - 2), x.ndim - 1)
-    return out * (1.0 / (win * win))
+    ones = np.ones(win, dtype=np.float32)
+    return sepconv(x, ones, ones, border="replicate") * (1.0 / (win * win))
 
 
 def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:

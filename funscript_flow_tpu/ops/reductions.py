@@ -6,6 +6,10 @@ flag (:888-894), +/-6-pair temporal center smoothing (:1200-1214), and the
 camera-motion-cancelling weighted radial projection (:761-785) — batched over
 the pair axis so flow fields never leave HBM; only [B] scalars and [B, 2]
 centers return to host.
+
+Flow travels as (u, v) planes, each [B, H, W] (TPU tiles the trailing two
+axes; a trailing 2-channel axis would waste vector lanes — see
+ops.farneback module docstring).
 """
 
 from __future__ import annotations
@@ -24,8 +28,8 @@ __all__ = [
 CENTER_SMOOTH_RADIUS = 6  # reference :1206 (6 pairs each direction)
 
 
-def divergence(flow: jax.Array) -> jax.Array:
-    """np.gradient-style 'divergence' d(fx)/drow + d(fy)/dcol, [B, H, W].
+def divergence(u: jax.Array, v: jax.Array) -> jax.Array:
+    """np.gradient-style 'divergence' d(u)/drow + d(v)/dcol, [B, H, W].
 
     Faithful to the reference's axis pairing (FunscriptFlow.pyw:754): the
     x-flow component is differentiated along rows (axis 0) and the y-flow
@@ -41,16 +45,16 @@ def divergence(flow: jax.Array) -> jax.Array:
         tail = jax.lax.slice_in_dim(a, n - 1, n, axis=axis) - jax.lax.slice_in_dim(a, n - 2, n - 1, axis=axis)
         return jnp.concatenate([lead, mid, tail], axis=axis)
 
-    return grad(flow[..., 0], 1) + grad(flow[..., 1], 2)
+    return grad(u, 1) + grad(v, 2)
 
 
-def max_divergence_center(flow: jax.Array):
+def max_divergence_center(u: jax.Array, v: jax.Array):
     """Argmax-of-|divergence| center per pair (reference :748-758, :884).
 
     Returns (centers [B, 2] float32 as (x, y), values [B]). First-occurrence
     argmax in row-major order, like np.argmax.
     """
-    div = divergence(flow)
+    div = divergence(u, v)
     B, H, W = div.shape
     flat = jnp.abs(div).reshape(B, H * W)
     idx = jnp.argmax(flat, axis=1)
@@ -60,9 +64,9 @@ def max_divergence_center(flow: jax.Array):
     return jnp.stack([x, y], axis=-1), val
 
 
-def mean_flow_magnitude(flow: jax.Array) -> jax.Array:
+def mean_flow_magnitude(u: jax.Array, v: jax.Array) -> jax.Array:
     """Mean |flow| per pair, [B] — the cut statistic (reference :889-894)."""
-    return jnp.mean(jnp.hypot(flow[..., 0], flow[..., 1]), axis=(1, 2))
+    return jnp.mean(jnp.hypot(u, v), axis=(1, 2))
 
 
 def smooth_centers(centers: jax.Array, n_valid: jax.Array,
@@ -71,7 +75,8 @@ def smooth_centers(centers: jax.Array, n_valid: jax.Array,
 
     The window truncates at index 0 and at ``n_valid`` (the reference
     truncates at chunk edges; callers that stitch chunks pass a halo so this
-    truncation only happens at true video edges). Windowed mean via cumsum.
+    truncation only happens at true video edges). Windowed mean via cumsum
+    (fine here: the scan is over the tiny pair axis, not a lane axis).
     """
     B = centers.shape[0]
     i = jnp.arange(B)
@@ -85,20 +90,20 @@ def smooth_centers(centers: jax.Array, n_valid: jax.Array,
     return total / count[:, None]
 
 
-def radial_motion_weighted(flow: jax.Array, centers: jax.Array, cuts: jax.Array,
-                           pov_mode: bool = False) -> jax.Array:
+def radial_motion_weighted(u: jax.Array, v: jax.Array, centers: jax.Array,
+                           cuts: jax.Array, pov_mode: bool = False) -> jax.Array:
     """Signed expansion scalar per pair (reference :761-785), [B].
 
     dot = flow . (pixel - center); POV mode returns the plain mean; otherwise
     the dot is weighted so the two sides of the center contribute equally in
     x and y (camera-motion cancellation, :781-783). Cut pairs return 0.
     """
-    B, H, W, _ = flow.shape
+    B, H, W = u.shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)[None]
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)[None]
     cx = centers[:, 0][:, None, None]
     cy = centers[:, 1][:, None, None]
-    dot = flow[..., 0] * (xs - cx) + flow[..., 1] * (ys - cy)
+    dot = u * (xs - cx) + v * (ys - cy)
     if pov_mode:
         val = jnp.mean(dot, axis=(1, 2))
     else:

@@ -135,9 +135,23 @@ def process_video(video_path: str, params: Params, log_func,
         pair_batch=params.pair_batch,
     )
     analyzer = StreamingFlowAnalyzer(cfg)
-    source = iodec.PrefetchingFrameSource(
-        video_path, meta, params.vr_mode, cancel_flag=cancel_flag
-    )
+    source = None
+    if params.use_native_decode in ("auto", "on"):
+        try:
+            from . import runtime as native_rt
+
+            if native_rt.available():
+                source = native_rt.NativeFrameSource(
+                    video_path, meta, params.vr_mode, cancel_flag=cancel_flag
+                )
+        except Exception as e:
+            if params.use_native_decode == "on":
+                log_func(f"ERROR: native decode requested but unavailable: {e}")
+                return True
+    if source is None:
+        source = iodec.PrefetchingFrameSource(
+            video_path, meta, params.vr_mode, cancel_flag=cancel_flag
+        )
 
     results = []
     n_pairs_total = n_samples - 1

@@ -1,0 +1,102 @@
+"""Native (C++) host runtime: GIL-free decode + preprocess.
+
+``NativeFrameSource`` mirrors ``io.decode.PrefetchingFrameSource`` but runs
+the whole decode -> resize -> crop -> RGB chain on C++ threads
+(frame_pump.cpp). Falls back gracefully when the shared library isn't built;
+``build()`` compiles it with the system toolchain (auto-attempted once on
+first use). Bit-identical to the Python path (same OpenCV calls — tested).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["available", "build", "NativeFrameSource"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libframe_pump.so")
+_FRAME_SHAPE = (256, 256, 3)
+_lib = None
+_build_attempted = False
+_lock = threading.Lock()
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile libframe_pump.so; returns success."""
+    try:
+        res = subprocess.run(
+            ["make", "-C", _DIR],
+            capture_output=quiet,
+            timeout=300,
+        )
+        return res.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _build_attempted
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) and not _build_attempted:
+            _build_attempted = True
+            build()
+        if not os.path.exists(_SO):
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.fp_open.restype = ctypes.c_void_p
+        lib.fp_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.fp_meta.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+                                ctypes.POINTER(ctypes.c_longlong),
+                                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.fp_next_batch.restype = ctypes.c_int
+        lib.fp_next_batch.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.fp_cancel.argtypes = [ctypes.c_void_p]
+        lib.fp_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeFrameSource:
+    """Drop-in for io.decode.PrefetchingFrameSource backed by frame_pump."""
+
+    def __init__(self, path: str, meta, vr_mode: bool = False,
+                 depth: int = 512, cancel_flag=None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libframe_pump.so not available (build failed)")
+        self._lib = lib
+        self._h = lib.fp_open(path.encode(), int(vr_mode), int(meta.step), int(depth))
+        if not self._h:
+            raise IOError(f"Cannot open video: {path}")
+        self._cancel_flag = cancel_flag
+        self._closed = False
+
+    def get_batch(self, n: int) -> list:
+        if self._cancel_flag is not None and self._cancel_flag():
+            self._lib.fp_cancel(self._h)
+            return []
+        buf = np.empty((n,) + _FRAME_SHAPE, np.uint8)
+        got = self._lib.fp_next_batch(self._h, buf.ctypes.data_as(ctypes.c_void_p), n)
+        return list(buf[:got])
+
+    def close(self):
+        if not self._closed:
+            self._closed = True
+            self._lib.fp_close(self._h)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -33,6 +33,7 @@ class Params:
     cut_threshold: float = 7.0       # config-only key in the reference (:876)
     signal_backend: str = "auto"     # auto | host | device
     pair_batch: int = 240            # device micro-batch of frame pairs
+    use_native_decode: str = "auto"  # auto | on | off (C++ frame_pump runtime)
 
     def __post_init__(self):
         b = str(self.backend).upper()

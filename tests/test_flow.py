@@ -51,7 +51,7 @@ def test_farneback_batched_equals_percall():
 
 def test_divergence_center_matches_reference(rng):
     flow = rng.normal(0, 2, (3, 32, 40, 2)).astype(np.float32)
-    centers, vals = red.max_divergence_center(jnp.asarray(flow))
+    centers, vals = red.max_divergence_center(jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1]))
     for i in range(3):
         x, y, v = ref.max_divergence(flow[i])
         assert (centers[i, 0], centers[i, 1]) == (x, y)
@@ -60,7 +60,7 @@ def test_divergence_center_matches_reference(rng):
 
 def test_mean_magnitude_matches_cartToPolar(rng):
     flow = rng.normal(0, 3, (2, 64, 64, 2)).astype(np.float32)
-    got = np.asarray(red.mean_flow_magnitude(jnp.asarray(flow)))
+    got = np.asarray(red.mean_flow_magnitude(jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1])))
     for i in range(2):
         mag, _ = cv2.cartToPolar(flow[i, ..., 0], flow[i, ..., 1])
         np.testing.assert_allclose(got[i], mag.mean(), rtol=1e-5)
@@ -71,14 +71,14 @@ def test_radial_motion_matches_reference(rng):
     centers = np.array([[28.0, 24.0], [10.5, 40.2], [0.0, 0.0], [55.0, 47.0]], np.float32)
     cuts = np.array([False, False, True, False])
     got = np.asarray(
-        red.radial_motion_weighted(jnp.asarray(flow), jnp.asarray(centers), jnp.asarray(cuts))
+        red.radial_motion_weighted(jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1]), jnp.asarray(centers), jnp.asarray(cuts))
     )
     for i in range(4):
         want = ref.radial_motion_weighted(flow[i], centers[i], cuts[i])
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-6)
     # POV mode
     got_pov = np.asarray(
-        red.radial_motion_weighted(jnp.asarray(flow), jnp.asarray(centers), jnp.asarray(cuts), True)
+        red.radial_motion_weighted(jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1]), jnp.asarray(centers), jnp.asarray(cuts), True)
     )
     for i in range(4):
         want = ref.radial_motion_weighted(flow[i], centers[i], cuts[i], True)

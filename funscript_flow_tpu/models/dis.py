@@ -1,0 +1,238 @@
+"""DIS (Dense Inverse Search) optical flow — the fast alternative backend.
+
+The reference exposes a "DNN" backend selector that actually runs
+``cv2.DISOpticalFlow_create(DISOPTICAL_FLOW_PRESET_FAST)`` (reference:
+FunscriptFlow.pyw:948-980, SURVEY.md §2.1 #12) — a different, cheaper dense
+flow than Farnebäck, chosen by users for speed; its output (and hence the
+funscript) legitimately differs from the Farnebäck backend's.
+
+From-scratch TPU-native implementation of the DIS essence (Kroeger,
+Timofte, Dai, Van Gool — "Fast Optical Flow using Dense Inverse Search",
+ECCV 2016, PAPERS.md): coarse-to-fine patch grid, inverse-compositional
+gradient descent per patch, weighted densification. Structured for TPU:
+
+* all patch extraction / densification is **static** strided slicing — the
+  patch grid is fixed, so no gathers there;
+* the only dynamic access is sampling I1 at each patch's current offset:
+  one packed 4-corner bilinear gather over ``patches x 64`` indices per
+  descent step — ~50x fewer indices than a dense per-pixel warp;
+* every patch updates in parallel (we deliberately drop OpenCV's serial
+  left-to-right spatial propagation, which cannot batch; quality recovered
+  by starting from the upsampled coarser-level flow).
+
+Deviations from cv2's DIS (documented; validated statistically in
+tests/test_dis.py rather than bit-exact): no spatial propagation, no
+variational refinement (cv2's ULTRAFAST preset also runs none), per-patch
+(not per-pixel) densification weights.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.image import gaussian_blur, resize_bilinear, sepconv
+
+__all__ = ["DISConfig", "dis_flow_planes", "dis_flow"]
+
+
+@dataclass(frozen=True)
+class DISConfig:
+    """PRESET_FAST-shaped parameters (cv2 DIS: finest_scale=2, patch 8/4,
+    16 descent iterations)."""
+
+    finest_scale: int = 2
+    patch_size: int = 8
+    patch_stride: int = 4
+    gd_iters: int = 16
+    use_mean_norm: bool = True
+
+
+def _pyr_down(img: jax.Array) -> jax.Array:
+    """Half-resolution: 5-tap binomial smooth + 2x subsample (pyrDown-like)."""
+    k = np.array([1, 4, 6, 4, 1], np.float32) / 16.0
+    sm = sepconv(img, k, k, border="reflect101")
+    return sm[..., ::2, ::2]
+
+
+def _sobel(img: jax.Array):
+    """Sobel 3x3 gradients (cv2.spatialGradient convention)."""
+    d = np.array([-1.0, 0.0, 1.0], np.float32)
+    s = np.array([1.0, 2.0, 1.0], np.float32)
+    return sepconv(img, s, d), sepconv(img, d, s)  # (d/dx, d/dy)
+
+
+def _extract_patches(img: jax.Array, ny: int, nx: int, ps: int, stride: int):
+    """[B, h, w] -> [B, ny, nx, ps*ps] via static strided slices (no gather)."""
+    rows = []
+    for dy in range(ps):
+        cols = []
+        for dx in range(ps):
+            cols.append(
+                jax.lax.slice(
+                    img,
+                    (0, dy, dx),
+                    (img.shape[0], dy + (ny - 1) * stride + 1, dx + (nx - 1) * stride + 1),
+                    (1, stride, stride),
+                )
+            )
+        rows.append(jnp.stack(cols, axis=-1))  # [B, ny, nx, ps]
+    return jnp.concatenate(rows, axis=-1)  # [B, ny, nx, ps*ps]
+
+
+def _sample_patches(img: jax.Array, py, px, uy, ux, ps: int):
+    """Bilinear-sample ps x ps patches of ``img`` at (py+uy, px+ux).
+
+    img [B, h, w]; py/px static patch-corner grids [ny, nx]; uy/ux traced
+    offsets [B, ny, nx]. Returns [B, ny, nx, ps*ps]. One packed 4-corner
+    gather over all patch pixels (the only dynamic access in DIS).
+    """
+    B, h, w = img.shape
+    ny, nx = py.shape
+    fy = py[None] + uy
+    fx = px[None] + ux
+    # clamp the window inside the image (cv2 clamps patch positions too);
+    # weights derive from the clamped corner so edge patches stay consistent
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - ps)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - ps)
+    wy = jnp.clip(fy - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    wx = jnp.clip(fx - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    dy = jnp.arange(ps).repeat(ps).reshape(1, 1, 1, ps * ps)
+    dx = jnp.tile(jnp.arange(ps), ps).reshape(1, 1, 1, ps * ps)
+    flat = img.reshape(B, h * w)
+    base = (y0[..., None] + dy) * w + (x0[..., None] + dx)  # [B,ny,nx,pp]
+
+    def g(off):
+        idx = (base + off).reshape(B, -1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, ny, nx, ps * ps)
+
+    p00 = g(0)
+    p01 = g(1)
+    p10 = g(w)
+    p11 = g(w + 1)
+    return (p00 * (1 - wx) * (1 - wy) + p01 * wx * (1 - wy)
+            + p10 * (1 - wx) * wy + p11 * wx * wy)
+
+
+def _dis_level(I0, I1, u, v, cfg: DISConfig):
+    """One pyramid level: patch inverse search + densification.
+
+    u, v: [B, h, w] initial flow at this level (from the coarser level).
+    """
+    B, h, w = I0.shape
+    ps, st = cfg.patch_size, cfg.patch_stride
+    ny = (h - ps) // st + 1
+    nx = (w - ps) // st + 1
+    py = (np.arange(ny) * st)[:, None] * np.ones((1, nx))
+    px = np.ones((ny, 1)) * (np.arange(nx) * st)[None, :]
+    py = jnp.asarray(py, jnp.float32)
+    px = jnp.asarray(px, jnp.float32)
+
+    gx, gy = _sobel(I0)
+    T = _extract_patches(I0, ny, nx, ps, st)
+    Tx = _extract_patches(gx, ny, nx, ps, st)
+    Ty = _extract_patches(gy, ny, nx, ps, st)
+    if cfg.use_mean_norm:
+        T = T - T.mean(axis=-1, keepdims=True)
+
+    h11 = jnp.sum(Tx * Tx, -1) + 1e-3
+    h12 = jnp.sum(Tx * Ty, -1)
+    h22 = jnp.sum(Ty * Ty, -1) + 1e-3
+    idet = 1.0 / (h11 * h22 - h12 * h12)
+
+    # init patch offsets from the incoming dense flow at patch centers
+    cy = (np.arange(ny) * st + ps // 2).astype(int)
+    cx = (np.arange(nx) * st + ps // 2).astype(int)
+    pu = u[:, cy][:, :, cx]
+    pv = v[:, cy][:, :, cx]
+
+    max_disp = float(max(h, w))
+
+    def step(carry, _):
+        pu, pv = carry
+        P1 = _sample_patches(I1, py, px, pv, pu, ps)
+        if cfg.use_mean_norm:
+            P1 = P1 - P1.mean(axis=-1, keepdims=True)
+        r = P1 - T
+        g1 = jnp.sum(Tx * r, -1)
+        g2 = jnp.sum(Ty * r, -1)
+        du = (h22 * g1 - h12 * g2) * idet
+        dv = (h11 * g2 - h12 * g1) * idet
+        pu = jnp.clip(pu - du, -max_disp, max_disp)
+        pv = jnp.clip(pv - dv, -max_disp, max_disp)
+        return (pu, pv), None
+
+    (pu, pv), _ = jax.lax.scan(step, (pu, pv), None, length=cfg.gd_iters)
+
+    # densification weights: inverse residual energy per patch
+    P1 = _sample_patches(I1, py, px, pv, pu, ps)
+    if cfg.use_mean_norm:
+        P1 = P1 - P1.mean(axis=-1, keepdims=True)
+    lam = 1.0 / jnp.maximum(1.0, jnp.mean((P1 - T) ** 2, -1))
+
+    # col2im: static strided scatter of (weight, weight*u, weight*v)
+    acc_w = jnp.zeros((B, h, w), jnp.float32)
+    acc_u = jnp.zeros((B, h, w), jnp.float32)
+    acc_v = jnp.zeros((B, h, w), jnp.float32)
+    ylim = (ny - 1) * st + 1
+    xlim = (nx - 1) * st + 1
+    for dy in range(ps):
+        for dx in range(ps):
+            sl = (slice(None), slice(dy, dy + ylim, st), slice(dx, dx + xlim, st))
+            acc_w = acc_w.at[sl].add(lam)
+            acc_u = acc_u.at[sl].add(lam * pu)
+            acc_v = acc_v.at[sl].add(lam * pv)
+    safe = jnp.maximum(acc_w, 1e-6)
+    covered = acc_w > 0
+    return (
+        jnp.where(covered, acc_u / safe, u),
+        jnp.where(covered, acc_v / safe, v),
+    )
+
+
+def dis_flow_planes(f0: jax.Array, f1: jax.Array, cfg: DISConfig | None = None):
+    """DIS dense flow, plane layout: [B, H, W] pair batch -> (u, v) planes."""
+    cfg = cfg or DISConfig()
+    f0 = f0.astype(jnp.float32)
+    f1 = f1.astype(jnp.float32)
+    B, H, W = f0.shape
+
+    coarsest = max(
+        cfg.finest_scale,
+        int(round(math.log2(max(H, W) / (4.0 * cfg.patch_size)))),
+    )
+    # pyramids: index k = scale 2^-k
+    pyr0 = [f0]
+    pyr1 = [f1]
+    for _ in range(coarsest):
+        pyr0.append(_pyr_down(pyr0[-1]))
+        pyr1.append(_pyr_down(pyr1[-1]))
+
+    lh, lw = pyr0[coarsest].shape[1:]
+    u = jnp.zeros((B, lh, lw), jnp.float32)
+    v = jnp.zeros((B, lh, lw), jnp.float32)
+    for k in range(coarsest, cfg.finest_scale - 1, -1):
+        if k != coarsest:
+            lh, lw = pyr0[k].shape[1:]
+            u = resize_bilinear(u, lh, lw) * 2.0
+            v = resize_bilinear(v, lh, lw) * 2.0
+        u, v = _dis_level(pyr0[k], pyr1[k], u, v, DISConfig(
+            finest_scale=cfg.finest_scale, patch_size=cfg.patch_size,
+            patch_stride=cfg.patch_stride, gd_iters=cfg.gd_iters,
+            use_mean_norm=cfg.use_mean_norm))
+
+    scale = float(1 << cfg.finest_scale)
+    u = resize_bilinear(u, H, W) * scale
+    v = resize_bilinear(v, H, W) * scale
+    return u, v
+
+
+def dis_flow(f0: jax.Array, f1: jax.Array, cfg: DISConfig | None = None) -> jax.Array:
+    """[B, H, W, 2] convenience wrapper (cv2.DISOpticalFlow.calc shape)."""
+    u, v = dis_flow_planes(f0, f1, cfg)
+    return jnp.stack([u, v], axis=-1)

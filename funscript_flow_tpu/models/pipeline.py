@@ -49,6 +49,7 @@ class PipelineConfig:
     pov_mode: bool = False
     cut_threshold: float = 7.0  # reference :876 (config-only key, default 7)
     pair_batch: int = 240      # device micro-batch of pairs (tunable)
+    flow_algorithm: str = "farneback"  # farneback | dis (reference "DNN" backend)
     pyr_scale: float = 0.5
     levels: int = 3
     winsize: int = 15
@@ -87,7 +88,12 @@ def flow_chunk_program(frames: jax.Array, n_pairs: jax.Array, cfg: PipelineConfi
     """
     gray = rgb_to_gray_cv(frames)
     f0, f1 = gray[:-1], gray[1:]
-    u, v = farneback_flow_planes(f0, f1, cfg.farneback())
+    if cfg.flow_algorithm == "dis":
+        from .dis import dis_flow_planes
+
+        u, v = dis_flow_planes(f0, f1)
+    else:
+        u, v = farneback_flow_planes(f0, f1, cfg.farneback())
 
     B, H, W = f0.shape
     if cfg.pov_mode:

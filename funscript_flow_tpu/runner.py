@@ -133,6 +133,7 @@ def process_video(video_path: str, params: Params, log_func,
         pov_mode=params.pov_mode,
         cut_threshold=params.cut_threshold,
         pair_batch=params.pair_batch,
+        flow_algorithm="dis" if params.backend == "DIS" else "farneback",
     )
     analyzer = StreamingFlowAnalyzer(cfg)
     source = None

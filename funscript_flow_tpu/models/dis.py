@@ -95,26 +95,32 @@ def _sample_patches(img: jax.Array, py, px, uy, ux, ps: int):
     ny, nx = py.shape
     fy = py[None] + uy
     fx = px[None] + ux
-    # clamp the window inside the image (cv2 clamps patch positions too);
-    # weights derive from the clamped corner so edge patches stay consistent
-    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - ps)
-    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - ps)
+    # clamp the (ps+1)-wide sample window fully inside the image (cv2 clamps
+    # patch positions too); the last valid start ``dim - ps`` is represented
+    # as start ``dim - ps - 1`` with fractional weight 1, so positions cover
+    # [0, dim - ps] continuously and the XLA gather never clips.
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - ps - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - ps - 1)
     wy = jnp.clip(fy - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
     wx = jnp.clip(fx - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
 
-    dy = jnp.arange(ps).repeat(ps).reshape(1, 1, 1, ps * ps)
-    dx = jnp.tile(jnp.arange(ps), ps).reshape(1, 1, 1, ps * ps)
-    flat = img.reshape(B, h * w)
-    base = (y0[..., None] + dy) * w + (x0[..., None] + dx)  # [B,ny,nx,pp]
+    # All ps*ps pixels of a patch share one fractional offset, so ONE gather
+    # of a (ps+1, ps+1) window per patch suffices (gathers on this backend
+    # are index-bound: per-patch windows are ~64x fewer indices than
+    # per-pixel corners). The four bilinear corners are static sub-windows.
+    idx = jnp.stack([y0.reshape(B, -1), x0.reshape(B, -1)], axis=-1)  # [B,np,2]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
 
-    def g(off):
-        idx = (base + off).reshape(B, -1)
-        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, ny, nx, ps * ps)
+    def g(im, ix):
+        return jax.lax.gather(im, ix, dn, slice_sizes=(ps + 1, ps + 1))
 
-    p00 = g(0)
-    p01 = g(1)
-    p10 = g(w)
-    p11 = g(w + 1)
+    win = jax.vmap(g)(img, idx).reshape(B, ny, nx, ps + 1, ps + 1)
+    p00 = win[..., :ps, :ps].reshape(B, ny, nx, ps * ps)
+    p01 = win[..., :ps, 1:].reshape(B, ny, nx, ps * ps)
+    p10 = win[..., 1:, :ps].reshape(B, ny, nx, ps * ps)
+    p11 = win[..., 1:, 1:].reshape(B, ny, nx, ps * ps)
     return (p00 * (1 - wx) * (1 - wy) + p01 * wx * (1 - wy)
             + p10 * (1 - wx) * wy + p11 * wx * wy)
 

@@ -60,9 +60,10 @@ def main(argv=None) -> int:
 
     enable_persistent_cache()
     if not args.input:
-        print("No input given. (The Qt GUI of the reference is not available "
-              "in this build; pass a video file or folder.)", file=sys.stderr)
-        return 2
+        # no input -> GUI, like the reference (:2665-2668); tkinter-based here
+        from .gui.app import launch
+
+        return launch()
     params = Params(
         threads=args.threads,
         detrend_window=args.detrend_window,

@@ -1,0 +1,121 @@
+"""BatchWorker, CLI entry, GUI settings mapping, backend detection."""
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import reference_cv as ref
+from funscript_flow_tpu.cli import build_parser, main as cli_main
+from funscript_flow_tpu.gui.app import collect_settings
+from funscript_flow_tpu.utils.backends import get_available_backends, get_device_info
+from funscript_flow_tpu.utils.params import Params
+from funscript_flow_tpu.worker import BatchWorker
+
+
+def write_video(path, frames_rgb, fps=30):
+    import cv2
+
+    h, w = frames_rgb[0].shape[:2]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for f in frames_rgb:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+@pytest.fixture(scope="module")
+def clips(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wk")
+    frames = ref.make_synthetic_frames(20, h=64, w=64, period=8, seed=6)
+    a, b = d / "a.mp4", d / "b.mp4"
+    write_video(a, frames)
+    write_video(b, frames)
+    return d, [str(a), str(b)]
+
+
+def test_batch_worker_end_to_end(clips, tmp_path):
+    d, files = clips
+    progress, vprogress, logs, done = [], [], [], []
+    w = BatchWorker(
+        files, Params(overwrite=True, pair_batch=16),
+        on_progress=progress.append, on_video_progress=vprogress.append,
+        on_log=logs.append, on_finished=lambda e, g: done.append((e, g)),
+        logs_dir=str(tmp_path / "logs"),
+    )
+    w.start()
+    w.join(timeout=600)
+    assert not w.is_alive()
+    err, generated = done[0]
+    assert not err
+    assert len(generated) == 2 and all(os.path.exists(g[1]) for g in generated)
+    assert progress[-1] == 100
+    assert any("Batch processing complete" in m for m in logs)
+    assert os.path.exists(w.log_path)
+    assert "Processing file 1/2" in open(w.log_path).read()
+
+
+def test_batch_worker_cancel(clips, tmp_path):
+    _, files = clips
+    w = BatchWorker(files, Params(overwrite=True, pair_batch=16),
+                    logs_dir=str(tmp_path / "logs"))
+    w.cancel()  # cancel before start: loop exits on the first check
+    w.start()
+    w.join(timeout=120)
+    assert not w.is_alive()
+    assert w.generated == []
+
+
+def test_cli_parser_reference_flags():
+    p = build_parser()
+    a = p.parse_args(["/x.mp4", "--threads", "4", "--detrend_window", "1.5",
+                      "--norm_window", "4", "--batch_size", "100", "--overwrite",
+                      "--vr_mode", "--pov_mode", "--disable_keyframe_reduction",
+                      "--backend", "CUDA", "--cut_threshold", "5"])
+    assert a.threads == 4 and a.vr_mode and a.pov_mode
+    assert a.disable_keyframe_reduction  # fixed semantics: flag -> disable
+    d = p.parse_args(["/x.mp4"])
+    assert (d.threads, d.detrend_window, d.norm_window, d.batch_size) == (8, 2.0, 3.0, 3000)
+
+
+def test_cli_main_end_to_end(clips, tmp_path, monkeypatch):
+    _, files = clips
+    monkeypatch.chdir(tmp_path)
+    rc = cli_main([files[0], "--overwrite", "--pair_batch", "16",
+                   "--log", str(tmp_path / "run.log")])
+    assert rc == 0
+    out = files[0].replace(".mp4", ".funscript")
+    data = json.load(open(out))
+    assert data["version"] == "1.0" and len(data["actions"]) > 2
+    logtext = (tmp_path / "run.log").read_text()
+    assert "Funscript saved" in logtext
+
+
+def test_cli_raw_motion_export(clips):
+    _, files = clips
+    rc = cli_main([files[1], "--overwrite", "--pair_batch", "16",
+                   "--disable_keyframe_reduction", "--log", "/tmp/raw.log"])
+    assert rc == 0
+    data = json.load(open(files[1].replace(".mp4", ".funscript")))
+    # raw export: one action per sampled pair (19 pairs)
+    assert len(data["actions"]) == 19
+
+
+def test_collect_settings_maps_backend_annotations():
+    p = collect_settings({
+        "threads": "4", "detrend_window": "1.5", "norm_window": "4",
+        "batch_size": "100", "cut_threshold": "6", "overwrite": True,
+        "vr_mode": False, "pov_mode": True, "keyframe_reduction": False,
+        "backend": "DIS (available)",
+    })
+    assert p == Params(threads=4, detrend_window=1.5, norm_window=4.0,
+                       batch_size=100, cut_threshold=6.0, overwrite=True,
+                       pov_mode=True, keyframe_reduction=False, backend="DIS")
+
+
+def test_backend_detection():
+    b = get_available_backends()
+    assert b["DIS"] and b["CPU"]
+    assert isinstance(get_device_info(), str) and "backend" in get_device_info()

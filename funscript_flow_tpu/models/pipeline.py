@@ -50,6 +50,7 @@ class PipelineConfig:
     cut_threshold: float = 7.0  # reference :876 (config-only key, default 7)
     pair_batch: int = 240      # device micro-batch of pairs (tunable)
     flow_algorithm: str = "farneback"  # farneback | dis (reference "DNN" backend)
+    use_pallas: bool = False           # fused Mosaic kernels for polyexp + blur/solve
     pyr_scale: float = 0.5
     levels: int = 3
     winsize: int = 15
@@ -59,7 +60,8 @@ class PipelineConfig:
 
     def farneback(self) -> FarnebackConfig:
         return FarnebackConfig(self.pyr_scale, self.levels, self.winsize,
-                               self.iterations, self.poly_n, self.poly_sigma)
+                               self.iterations, self.poly_n, self.poly_sigma,
+                               use_pallas=self.use_pallas)
 
 
 def rgb_to_gray_cv(rgb: jax.Array) -> jax.Array:

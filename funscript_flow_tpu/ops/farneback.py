@@ -61,13 +61,14 @@ class FarnebackConfig:
     """Static flow parameters (compile-time constants)."""
 
     def __init__(self, pyr_scale=0.5, levels=3, winsize=15, iterations=3,
-                 poly_n=5, poly_sigma=1.2):
+                 poly_n=5, poly_sigma=1.2, use_pallas=False):
         self.pyr_scale = pyr_scale
         self.levels = levels
         self.winsize = winsize
         self.iterations = iterations
         self.poly_n = poly_n
         self.poly_sigma = poly_sigma
+        self.use_pallas = use_pallas
 
     def pyramid_plan(self, h: int, w: int):
         """Per-level (scale, height, width, smooth_sigma, smooth_ksize),
@@ -275,12 +276,27 @@ def farneback_flow_planes(f0: jax.Array, f1: jax.Array,
     B, H, W = f0.shape
     plan = cfg.pyramid_plan(H, W)
 
+    if cfg.use_pallas:
+        from .pallas.polyexp import poly_exp_pallas
+        from .pallas.flow_step import box_blur_solve_pallas
+
+    def _pallas_ok(lh, lw):
+        # Mosaic kernels need a tiling-aligned lane dim; small pyramid
+        # levels (64/32 px) fall back to the XLA path (they are cheap)
+        return cfg.use_pallas and lw % 128 == 0 and lh % 8 == 0
+
+    def expand(img, ok):
+        if ok:
+            return poly_exp_pallas(img, cfg.poly_n, cfg.poly_sigma)
+        return poly_exp(img, cfg.poly_n, cfg.poly_sigma)
+
     u = v = None
     for (s, lh, lw, sigma, ksize) in plan:
+        ok = _pallas_ok(lh, lw)
         i0 = resize_bilinear(gaussian_blur(f0, ksize, sigma), lh, lw)
         i1 = resize_bilinear(gaussian_blur(f1, ksize, sigma), lh, lw)
-        R0 = poly_exp(i0, cfg.poly_n, cfg.poly_sigma)
-        R1 = poly_exp(i1, cfg.poly_n, cfg.poly_sigma)
+        R0 = expand(i0, ok)
+        R1 = expand(i1, ok)
 
         if u is None:
             u = jnp.zeros((B, lh, lw), jnp.float32)
@@ -292,7 +308,10 @@ def farneback_flow_planes(f0: jax.Array, f1: jax.Array,
 
         M = update_matrices(R0, R1, u, v)
         for i in range(cfg.iterations):
-            u, v = solve_flow(M, cfg.winsize)
+            if ok:
+                u, v = box_blur_solve_pallas(M, cfg.winsize)
+            else:
+                u, v = solve_flow(M, cfg.winsize)
             if i < cfg.iterations - 1:
                 M = update_matrices(R0, R1, u, v)
     return u, v

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto", help="Where the 1-D signal chain runs")
     p.add_argument("--pair_batch", type=int, default=240,
                    help="Device micro-batch of frame pairs (default: 240)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="Use the fused Mosaic kernels for polyexp + blur/solve")
     p.add_argument("--log", default="run.log", help="Log file path")
     return p
 
@@ -77,6 +79,7 @@ def main(argv=None) -> int:
         cut_threshold=args.cut_threshold,
         signal_backend=args.signal_backend,
         pair_batch=args.pair_batch,
+        use_pallas=args.use_pallas,
     )
     any_error = run_headless(args.input, params, log_path=args.log)
     return 1 if any_error else 0

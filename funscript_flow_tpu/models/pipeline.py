@@ -186,6 +186,7 @@ class StreamingFlowAnalyzer:
         self._base = 0         # absolute frame index of _buf[0]
         self._s = 0            # next pair index to emit
         self._n_frames = 0
+        self._pending: list = []  # dispatched-but-unmaterialized device results
 
     def _frames_window(self, a: int, b: int) -> np.ndarray:
         """Frames [a, b] (absolute), padded to the static program shape."""
@@ -197,41 +198,51 @@ class StreamingFlowAnalyzer:
             window = np.concatenate([window, pad], axis=0)
         return window
 
-    def _run(self, e: int, n_total: int | None) -> dict:
+    def _dispatch(self, e: int, n_total: int | None) -> None:
+        """Enqueue one device program call; results stay on device.
+
+        JAX dispatch is asynchronous, so keeping a one-deep pending queue
+        lets the host assemble + upload the next window while the device
+        chews on the current one (the host/device pipeline the reference
+        built with a prefetch thread + Queue(1), :1139-1185).
+        """
         s, r = self._s, self.radius
         a = max(0, s - r)
         b = e + r if n_total is None else min(n_total, e + r)
         res = flow_chunk_program(
             jnp.asarray(self._frames_window(a, b)), jnp.int32(b - a), self.cfg
         )
-        lo, hi = s - a, e - a
-        out = {k: np.asarray(res[k])[lo:hi] for k in self.KEYS}
+        self._pending.append((res, s - a, e - a))
         self._s = e
         drop = max(0, (self._s - r) - self._base)
         if drop:
             del self._buf[:drop]
             self._base += drop
+
+    def _drain(self, keep: int) -> list:
+        out = []
+        while len(self._pending) > keep:
+            res, lo, hi = self._pending.pop(0)
+            out.append({k: np.asarray(res[k])[lo:hi] for k in self.KEYS})
         return out
 
     def push(self, frames) -> list:
         """Add decoded frames; returns a list of result dicts (maybe empty)."""
         self._buf.extend(frames)
         self._n_frames += len(frames)
-        out = []
         B, r = self.cfg.pair_batch, self.radius
         # pairs available so far: one per frame except the last
         while self._n_frames - 1 >= self._s + B + r:
-            out.append(self._run(self._s + B, None))
-        return out
+            self._dispatch(self._s + B, None)
+        return self._drain(keep=1)
 
     def flush(self) -> list:
         """Video ended: emit remaining pairs with end-truncated smoothing."""
         n_total = max(self._n_frames - 1, 0)
-        out = []
         while self._s < n_total:
             e = min(self._s + self.cfg.pair_batch, n_total)
-            out.append(self._run(e, n_total))
-        return out
+            self._dispatch(e, n_total)
+        return self._drain(keep=0)
 
     @property
     def pairs_emitted(self) -> int:

@@ -134,6 +134,7 @@ def process_video(video_path: str, params: Params, log_func,
         cut_threshold=params.cut_threshold,
         pair_batch=params.pair_batch,
         flow_algorithm="dis" if params.backend == "DIS" else "farneback",
+        use_pallas=params.use_pallas,
     )
     analyzer = StreamingFlowAnalyzer(cfg)
     source = None

@@ -34,6 +34,7 @@ class Params:
     signal_backend: str = "auto"     # auto | host | device
     pair_batch: int = 240            # device micro-batch of frame pairs
     use_native_decode: str = "auto"  # auto | on | off (C++ frame_pump runtime)
+    use_pallas: bool = False         # fused Mosaic kernels (polyexp, blur/solve)
 
     def __post_init__(self):
         b = str(self.backend).upper()

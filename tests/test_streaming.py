@@ -1,0 +1,74 @@
+"""StreamingFlowAnalyzer equivalence + compute_actions routing."""
+
+import numpy as np
+import pytest
+
+import reference_cv as ref
+from funscript_flow_tpu.models.pipeline import (
+    FlowAnalyzer,
+    PipelineConfig,
+    StreamingFlowAnalyzer,
+)
+from funscript_flow_tpu.runner import compute_actions
+from funscript_flow_tpu.ops import signal_host as sh
+from funscript_flow_tpu.utils.params import Params
+
+
+@pytest.mark.parametrize("push_size", [3, 7, 40])
+def test_streaming_equals_batch(push_size):
+    """Streaming push/flush must be bitwise identical to the batch analyzer,
+    for any push granularity (including pushes smaller than the halo)."""
+    frames = np.stack(ref.make_synthetic_frames(32, h=48, w=48, period=9, seed=13))
+    cfg = PipelineConfig(pair_batch=6)
+    want = FlowAnalyzer(cfg).analyze_video_pairs(frames)
+
+    st = StreamingFlowAnalyzer(cfg)
+    results = []
+    for i in range(0, len(frames), push_size):
+        results.extend(st.push(list(frames[i : i + push_size])))
+    results.extend(st.flush())
+    got = {k: np.concatenate([r[k] for r in results]) for k in st.KEYS}
+    assert st.pairs_emitted == 31
+    for k in ("dots", "centers", "mean_mag", "val_pos"):
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    np.testing.assert_array_equal(got["cuts"], want["cuts"])
+
+
+def test_compute_actions_routes_discontinuity_to_host(rng):
+    """A cumulative-flow jump > 1000 must give the reference's exact
+    (re-anchored window grid) result, i.e. the host path."""
+    n = 200
+    dots = rng.normal(0, 2, n)
+    dots[100] = 2500.0  # integration jump > threshold
+    cuts = np.zeros(n, bool)
+    ts = np.arange(n)
+    p_auto = Params(signal_backend="auto")
+    p_host = Params(signal_backend="host")
+    a_auto, _ = compute_actions(dots, cuts, ts, 30.0, 30.0, p_auto)
+    a_host, _ = compute_actions(dots, cuts, ts, 30.0, 30.0, p_host)
+    assert a_auto == a_host
+
+
+def test_compute_actions_auto_uses_device_when_clean(rng):
+    n = 300
+    dots = np.sin(np.arange(n) / 7.0) * 3
+    cuts = np.zeros(n, bool)
+    ts = np.arange(n)
+    a_auto, norm_auto = compute_actions(dots, cuts, ts, 30.0, 30.0,
+                                        Params(signal_backend="auto"))
+    # device f32 vs host f64: positions within 1
+    a_host, norm_host = compute_actions(dots, cuts, ts, 30.0, 30.0,
+                                        Params(signal_backend="host"))
+    np.testing.assert_allclose(norm_auto, norm_host, atol=0.5)
+    assert abs(len(a_auto) - len(a_host)) <= 2
+
+
+def test_compute_actions_tiny_signal_host_path():
+    """n < 32 routes to the exact host path; must match signal_host exactly
+    (including the <5-sample detrend quirks)."""
+    dots = np.array([0.5, 1.0])
+    cuts = np.array([False, False])
+    ts = np.array([0, 1])
+    a, _ = compute_actions(dots, cuts, ts, 30.0, 30.0, Params())
+    want, _ = sh.signal_chain(dots, cuts, ts, 30.0, 60, 90)
+    assert a == want

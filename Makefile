@@ -13,7 +13,8 @@ test: native
 	python -m pytest tests/ -x -q
 
 test-fast:
-	python -m pytest tests/ -x -q -k "not farneback_matches_cv2 or 48"
+	python -m pytest tests/test_signal_host.py tests/test_aux.py \
+	    tests/test_worker_cli.py tests/test_streaming.py -x -q
 
 bench: native
 	python bench.py

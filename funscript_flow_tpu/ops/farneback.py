@@ -180,32 +180,33 @@ def _warp_bilinear(planes, u: jax.Array, v: jax.Array):
 
     x0c = jnp.clip(x1i, 0, W - 1)
     y0c = jnp.clip(y1i, 0, H - 1)
-    x1c = jnp.clip(x1i + 1, 0, W - 1)
-    y1c = jnp.clip(y1i + 1, 0, H - 1)
 
-    idx00 = (y0c * W + x0c).reshape(B, H * W)
-    idx01 = (y0c * W + x1c).reshape(B, H * W)
-    idx10 = (y1c * W + x0c).reshape(B, H * W)
-    idx11 = (y1c * W + x1c).reshape(B, H * W)
-    a00 = (1 - wx) * (1 - wy)
-    a01 = wx * (1 - wy)
-    a10 = (1 - wx) * wy
-    a11 = wx * wy
+    idx = (y0c * W + x0c).reshape(B, H * W)
 
-    # Pack the planes into one [B, H*W, P] operand so each corner is a single
-    # gather with a P-element contiguous slice — one fat gather moves the
-    # same bytes as P thin ones at a fraction of the index-processing cost.
+    # Pack each plane's 2x2 bilinear neighborhood as four adjacent lanes of
+    # one operand, so a SINGLE gather at (y0, x0) fetches all four corners of
+    # all planes. These gathers are index-bound on TPU (~70M idx/s), so
+    # cutting 4 corner gathers to 1 is the dominant-cost lever (measured
+    # 4.4s -> 2.x s per 252-pair batch). The +1 neighbors are edge-replicated
+    # shifts, which only differ from OpenCV's corner clamping where the pixel
+    # is out-of-bounds anyway (inb False -> value discarded by the caller's
+    # fallback path).
     n_p = len(planes)
-    packed = jnp.stack([p.reshape(B, H * W) for p in planes], axis=-1)
+    lanes = []
+    for p in planes:
+        py = jnp.concatenate([p[:, 1:, :], p[:, H - 1 :, :]], axis=1)      # (y+1, x)
+        px = jnp.concatenate([p[:, :, 1:], p[:, :, W - 1 :]], axis=2)      # (y, x+1)
+        pxy = jnp.concatenate([py[:, :, 1:], py[:, :, W - 1 :]], axis=2)   # (y+1, x+1)
+        lanes += [p.reshape(B, H * W), px.reshape(B, H * W),
+                  py.reshape(B, H * W), pxy.reshape(B, H * W)]
+    packed = jnp.stack(lanes, axis=-1)  # [B, HW, 4*P]
 
-    def corner(idx):
-        return jnp.take_along_axis(packed, idx[..., None], axis=1)  # [B, HW, P]
-
-    g = (corner(idx00) * a00.reshape(B, H * W, 1)
-         + corner(idx01) * a01.reshape(B, H * W, 1)
-         + corner(idx10) * a10.reshape(B, H * W, 1)
-         + corner(idx11) * a11.reshape(B, H * W, 1))
-    out = tuple(g[..., k].reshape(B, H, W) for k in range(n_p))
+    g = jnp.take_along_axis(packed, idx[..., None], axis=1)  # [B, HW, 4P]
+    wxf = wx.reshape(B, H * W, 1)
+    wyf = wy.reshape(B, H * W, 1)
+    val = (g[..., 0::4] * (1 - wxf) + g[..., 1::4] * wxf) * (1 - wyf) + \
+          (g[..., 2::4] * (1 - wxf) + g[..., 3::4] * wxf) * wyf
+    out = tuple(val[..., k].reshape(B, H, W) for k in range(n_p))
     return out, inb
 
 

@@ -61,7 +61,8 @@ class FarnebackConfig:
     """Static flow parameters (compile-time constants)."""
 
     def __init__(self, pyr_scale=0.5, levels=3, winsize=15, iterations=3,
-                 poly_n=5, poly_sigma=1.2, use_pallas=False):
+                 poly_n=5, poly_sigma=1.2, use_pallas=False,
+                 warp_dtype="bfloat16"):
         self.pyr_scale = pyr_scale
         self.levels = levels
         self.winsize = winsize
@@ -69,6 +70,10 @@ class FarnebackConfig:
         self.poly_n = poly_n
         self.poly_sigma = poly_sigma
         self.use_pallas = use_pallas
+        # dtype of the packed warp-gather operand: bfloat16 halves the
+        # byte-bound gather traffic at ~1e-3 px flow cost vs cv2 (default);
+        # float32 gives ~1e-5 px for strict-parity checks
+        self.warp_dtype = warp_dtype
 
     def pyramid_plan(self, h: int, w: int):
         """Per-level (scale, height, width, smooth_sigma, smooth_ksize),
@@ -158,7 +163,7 @@ def _border_scale_map(h: int, w: int):
     return np.outer(axis_scale(h), axis_scale(w)).astype(np.float32)
 
 
-def _warp_bilinear(planes, u: jax.Array, v: jax.Array):
+def _warp_bilinear(planes, u: jax.Array, v: jax.Array, warp_dtype=jnp.float32):
     """Sample each [B, H, W] plane at (x + u, y + v), bilinear.
 
     Returns (warped_planes, in_bounds_mask). Out-of-bounds = OpenCV's
@@ -199,9 +204,9 @@ def _warp_bilinear(planes, u: jax.Array, v: jax.Array):
         pxy = jnp.concatenate([py[:, :, 1:], py[:, :, W - 1 :]], axis=2)   # (y+1, x+1)
         lanes += [p.reshape(B, H * W), px.reshape(B, H * W),
                   py.reshape(B, H * W), pxy.reshape(B, H * W)]
-    packed = jnp.stack(lanes, axis=-1)  # [B, HW, 4*P]
+    packed = jnp.stack(lanes, axis=-1).astype(warp_dtype)  # [B, HW, 4*P]
 
-    g = jnp.take_along_axis(packed, idx[..., None], axis=1)  # [B, HW, 4P]
+    g = jnp.take_along_axis(packed, idx[..., None], axis=1).astype(jnp.float32)
     wxf = wx.reshape(B, H * W, 1)
     wyf = wy.reshape(B, H * W, 1)
     val = (g[..., 0::4] * (1 - wxf) + g[..., 1::4] * wxf) * (1 - wyf) + \
@@ -210,7 +215,7 @@ def _warp_bilinear(planes, u: jax.Array, v: jax.Array):
     return out, inb
 
 
-def update_matrices(R0, R1, u: jax.Array, v: jax.Array):
+def update_matrices(R0, R1, u: jax.Array, v: jax.Array, warp_dtype=jnp.float32):
     """Constraint-matrix planes (G11, G12, G22, h1, h2), each [B, H, W].
 
     Warps R1 by the current flow (bilinear; out-of-bounds keeps frame-0
@@ -219,7 +224,7 @@ def update_matrices(R0, R1, u: jax.Array, v: jax.Array):
     the normal-equation products for the 2x2 solve.
     """
     H, W = u.shape[1], u.shape[2]
-    (w0, w1, w2, w3, w4), inb = _warp_bilinear(R1, u, v)
+    (w0, w1, w2, w3, w4), inb = _warp_bilinear(R1, u, v, warp_dtype)
 
     r2 = jnp.where(inb, w0, 0.0)
     r3 = jnp.where(inb, w1, 0.0)
@@ -307,12 +312,13 @@ def farneback_flow_planes(f0: jax.Array, f1: jax.Array,
             u = resize_bilinear(u, lh, lw) * inv
             v = resize_bilinear(v, lh, lw) * inv
 
-        M = update_matrices(R0, R1, u, v)
+        wdt = jnp.bfloat16 if cfg.warp_dtype == "bfloat16" else jnp.float32
+        M = update_matrices(R0, R1, u, v, warp_dtype=wdt)
         for i in range(cfg.iterations):
             if ok:
                 u, v = box_blur_solve_pallas(M, cfg.winsize)
             else:
                 u, v = solve_flow(M, cfg.winsize)
             if i < cfg.iterations - 1:
-                M = update_matrices(R0, R1, u, v)
+                M = update_matrices(R0, R1, u, v, warp_dtype=wdt)
     return u, v

@@ -34,8 +34,17 @@ def test_farneback_matches_cv2(h, w, shift):
     rng = np.random.default_rng(42)
     f0, f1 = make_pair(rng, h, w, shift)
     want = cv2.calcOpticalFlowFarneback(f0, f1, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    # default config: bf16 warp-gather operand (~1e-3 px vs cv2 for small
+    # displacements, up to ~2e-2 px for large ones — both orders of
+    # magnitude below anything visible in the 0-100 funscript output)
     got = np.asarray(farneback_flow(jnp.asarray(f0[None]), jnp.asarray(f1[None])))[0]
-    assert np.abs(got - want).max() < 1e-3
+    assert np.abs(got - want).max() < 5e-2
+    # strict-parity mode: f32 warp, ~1e-5 px
+    strict = FarnebackConfig(warp_dtype="float32")
+    got32 = np.asarray(
+        farneback_flow(jnp.asarray(f0[None]), jnp.asarray(f1[None]), strict)
+    )[0]
+    assert np.abs(got32 - want).max() < 1e-3
 
 
 def test_farneback_batched_equals_percall():

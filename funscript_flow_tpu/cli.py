@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device micro-batch of frame pairs (default: 240)")
     p.add_argument("--use_pallas", action="store_true",
                    help="Use the fused Mosaic kernels for polyexp + blur/solve")
+    p.add_argument("--dis_preset", choices=["ultrafast", "fast", "medium"],
+                   default="fast",
+                   help="DIS backend preset (cv2 equivalents; default: fast)")
+    p.add_argument("--warp_backend", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="Farnebäck warp implementation (auto = Mosaic band-warp "
+                        "kernel on TPU, XLA gather elsewhere)")
+    p.add_argument("--profile_dir", default="",
+                   help="Write a jax.profiler trace of the analysis loop here")
     p.add_argument("--log", default="run.log", help="Log file path")
     return p
 
@@ -80,6 +89,9 @@ def main(argv=None) -> int:
         signal_backend=args.signal_backend,
         pair_batch=args.pair_batch,
         use_pallas=args.use_pallas,
+        warp_backend=args.warp_backend,
+        dis_preset=args.dis_preset,
+        profile_dir=args.profile_dir,
     )
     any_error = run_headless(args.input, params, log_path=args.log)
     return 1 if any_error else 0

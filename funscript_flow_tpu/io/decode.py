@@ -22,7 +22,7 @@ import math
 import os
 import threading
 from dataclasses import dataclass
-from queue import Queue
+from queue import Empty, Full, Queue
 from typing import Iterator, Optional
 
 import cv2
@@ -139,15 +139,29 @@ class PrefetchingFrameSource:
         self._done = object()
         self._cancel = cancel_flag
         self._exc: Optional[BaseException] = None
+        self._stop = threading.Event()  # analog of the reference's stop_event (:140)
 
         def work():
             try:
                 for f in sampled_frames(path, meta, vr_mode, cancel_flag):
-                    self._q.put(f)
+                    # bounded put that aborts on close(): a plain blocking
+                    # put could refill the queue after close()'s drain and
+                    # park the thread forever (round-1 shutdown race)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(f, timeout=0.1)
+                            break
+                        except Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on next get_batch
                 self._exc = e
             finally:
-                self._q.put(self._done)
+                try:
+                    self._q.put_nowait(self._done)
+                except Full:
+                    pass  # consumer is gone; close() drains anyway
 
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
@@ -167,11 +181,12 @@ class PrefetchingFrameSource:
 
     def close(self):
         self._eof = True
-        # drain so the producer unblocks and exits
+        self._stop.set()
+        # drain so a producer blocked on put() unblocks and sees the stop
         while True:
             try:
-                item = self._q.get_nowait()
-            except Exception:
+                self._q.get_nowait()
+            except Empty:
                 break
         self._thread.join(timeout=5.0)
 

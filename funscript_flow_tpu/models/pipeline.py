@@ -50,7 +50,10 @@ class PipelineConfig:
     cut_threshold: float = 7.0  # reference :876 (config-only key, default 7)
     pair_batch: int = 240      # device micro-batch of pairs (tunable)
     flow_algorithm: str = "farneback"  # farneback | dis (reference "DNN" backend)
+    dis_preset: str = "fast"           # ultrafast | fast | medium (cv2 presets)
     use_pallas: bool = False           # fused Mosaic kernels for polyexp + blur/solve
+    warp_backend: str = "auto"         # auto | pallas | xla (ops.farneback)
+    warp_dtype: str = "bfloat16"       # XLA warp-path operand dtype
     pyr_scale: float = 0.5
     levels: int = 3
     winsize: int = 15
@@ -61,7 +64,9 @@ class PipelineConfig:
     def farneback(self) -> FarnebackConfig:
         return FarnebackConfig(self.pyr_scale, self.levels, self.winsize,
                                self.iterations, self.poly_n, self.poly_sigma,
-                               use_pallas=self.use_pallas)
+                               use_pallas=self.use_pallas,
+                               warp_dtype=self.warp_dtype,
+                               warp_backend=self.warp_backend)
 
 
 def rgb_to_gray_cv(rgb: jax.Array) -> jax.Array:
@@ -91,9 +96,9 @@ def flow_chunk_program(frames: jax.Array, n_pairs: jax.Array, cfg: PipelineConfi
     gray = rgb_to_gray_cv(frames)
     f0, f1 = gray[:-1], gray[1:]
     if cfg.flow_algorithm == "dis":
-        from .dis import dis_flow_planes
+        from .dis import DISConfig, dis_flow_planes
 
-        u, v = dis_flow_planes(f0, f1)
+        u, v = dis_flow_planes(f0, f1, DISConfig.preset(cfg.dis_preset))
     else:
         u, v = farneback_flow_planes(f0, f1, cfg.farneback())
 

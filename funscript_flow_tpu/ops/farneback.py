@@ -62,7 +62,7 @@ class FarnebackConfig:
 
     def __init__(self, pyr_scale=0.5, levels=3, winsize=15, iterations=3,
                  poly_n=5, poly_sigma=1.2, use_pallas=False,
-                 warp_dtype="bfloat16"):
+                 warp_dtype="bfloat16", warp_backend="auto"):
         self.pyr_scale = pyr_scale
         self.levels = levels
         self.winsize = winsize
@@ -70,10 +70,15 @@ class FarnebackConfig:
         self.poly_n = poly_n
         self.poly_sigma = poly_sigma
         self.use_pallas = use_pallas
-        # dtype of the packed warp-gather operand: bfloat16 halves the
-        # byte-bound gather traffic at ~1e-3 px flow cost vs cv2 (default);
+        # dtype of the packed warp-gather operand on the XLA path: bfloat16
+        # halves the byte-bound gather traffic at ~1e-3 px flow cost vs cv2;
         # float32 gives ~1e-5 px for strict-parity checks
         self.warp_dtype = warp_dtype
+        # warp implementation: "pallas" = Mosaic band-warp kernel (exact f32
+        # AND faster than the XLA gather — default on TPU), "xla" = packed
+        # single-gather take_along_axis, "auto" = pallas on TPU where the
+        # level shape is tile-aligned, xla otherwise
+        self.warp_backend = warp_backend
 
     def pyramid_plan(self, h: int, w: int):
         """Per-level (scale, height, width, smooth_sigma, smooth_ksize),
@@ -215,6 +220,16 @@ def _warp_bilinear(planes, u: jax.Array, v: jax.Array, warp_dtype=jnp.float32):
     return out, inb
 
 
+def warp_inbounds(u: jax.Array, v: jax.Array):
+    """OpenCV's out-of-bounds condition: floor coords outside [0, dim-2]."""
+    B, H, W = u.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    x1i = jnp.floor(xs[None] + u).astype(jnp.int32)
+    y1i = jnp.floor(ys[None] + v).astype(jnp.int32)
+    return (x1i >= 0) & (x1i < W - 1) & (y1i >= 0) & (y1i < H - 1)
+
+
 def update_matrices(R0, R1, u: jax.Array, v: jax.Array, warp_dtype=jnp.float32):
     """Constraint-matrix planes (G11, G12, G22, h1, h2), each [B, H, W].
 
@@ -223,8 +238,15 @@ def update_matrices(R0, R1, u: jax.Array, v: jax.Array, warp_dtype=jnp.float32):
     displacement-compensated residual, attenuates the border band, and emits
     the normal-equation products for the 2x2 solve.
     """
+    warped, inb = _warp_bilinear(R1, u, v, warp_dtype)
+    return matrices_from_warped(R0, warped, inb, u, v)
+
+
+def matrices_from_warped(R0, warped, inb, u: jax.Array, v: jax.Array):
+    """Post-warp half of :func:`update_matrices` (shared with the Pallas
+    warp path)."""
     H, W = u.shape[1], u.shape[2]
-    (w0, w1, w2, w3, w4), inb = _warp_bilinear(R1, u, v, warp_dtype)
+    w0, w1, w2, w3, w4 = warped
 
     r2 = jnp.where(inb, w0, 0.0)
     r3 = jnp.where(inb, w1, 0.0)
@@ -286,6 +308,16 @@ def farneback_flow_planes(f0: jax.Array, f1: jax.Array,
         from .pallas.polyexp import poly_exp_pallas
         from .pallas.flow_step import box_blur_solve_pallas
 
+    on_tpu = jax.default_backend() == "tpu"
+    if cfg.warp_backend == "pallas" or (cfg.warp_backend == "auto" and on_tpu):
+        from .pallas.warp import pack_warp_operand, warp_bilinear_pallas, warp_supported
+
+        def _warp_ok(lh, lw):
+            return warp_supported(lh, lw)
+    else:
+        def _warp_ok(lh, lw):
+            return False
+
     def _pallas_ok(lh, lw):
         # Mosaic kernels need a tiling-aligned lane dim; small pyramid
         # levels (64/32 px) fall back to the XLA path (they are cheap)
@@ -312,13 +344,27 @@ def farneback_flow_planes(f0: jax.Array, f1: jax.Array,
             u = resize_bilinear(u, lh, lw) * inv
             v = resize_bilinear(v, lh, lw) * inv
 
-        wdt = jnp.bfloat16 if cfg.warp_dtype == "bfloat16" else jnp.float32
-        M = update_matrices(R0, R1, u, v, warp_dtype=wdt)
+        if _warp_ok(lh, lw):
+            r_pad, rx_pad = pack_warp_operand(R1)  # once per level
+
+            def matrices(u, v):
+                w = warp_bilinear_pallas(r_pad, rx_pad, u, v,
+                                         interpret=not on_tpu)
+                warped = tuple(w[:, p] for p in range(5))
+                return matrices_from_warped(R0, warped, warp_inbounds(u, v),
+                                            u, v)
+        else:
+            wdt = jnp.bfloat16 if cfg.warp_dtype == "bfloat16" else jnp.float32
+
+            def matrices(u, v):
+                return update_matrices(R0, R1, u, v, warp_dtype=wdt)
+
+        M = matrices(u, v)
         for i in range(cfg.iterations):
             if ok:
                 u, v = box_blur_solve_pallas(M, cfg.winsize)
             else:
                 u, v = solve_flow(M, cfg.winsize)
             if i < cfg.iterations - 1:
-                M = update_matrices(R0, R1, u, v, warp_dtype=wdt)
+                M = matrices(u, v)
     return u, v

@@ -123,7 +123,7 @@ def poly_exp_pallas(img: jax.Array, poly_n: int = 5, poly_sigma: float = 1.2,
         functools.partial(_kernel, taps=taps, ig=ig, rows=H, n=n),
         grid=(B,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * 5,
         scratch_shapes=[
             pltpu.VMEM((H + 16, W), jnp.float32),

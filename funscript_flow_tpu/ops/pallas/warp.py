@@ -1,0 +1,158 @@
+"""Mosaic bilinear-warp kernel — the Farnebäck hot spot.
+
+The reference delegates warping to OpenCV's C++ interior loop
+(cv2.calcOpticalFlowFarneback, FunscriptFlow.pyw:878-879); our XLA port
+(ops.farneback._warp_bilinear) expresses it as one big gather, which XLA:TPU
+executes at ~70M indices/s (scalar-core driven) — ~70% of device time in
+round 1.
+
+This kernel replaces that gather with VPU-speed `tpu.dynamic_gather`
+shuffles. Mosaic only supports dynamic_gather on a single (8, 128) tile, so
+the 2-D warp is decomposed exactly:
+
+* output processed in (8, 128) tiles (grid = (B, H/8, W/128));
+* **x axis**: lane gathers against each 128-wide source piece of the row
+  band, combined with disjoint piece masks (arbitrary horizontal
+  displacement);
+* **y axis**: an adaptive ``fori_loop`` over the tile's integer displacement
+  band ``dy ∈ [min ⌊v⌋, max ⌊v⌋ + 1]`` — each step reads the 8-row source
+  group at that offset and mask-accumulates the top/bottom bilinear corners.
+  Flow is smooth, so the trip count is typically 2-4; it grows only where
+  the flow field actually varies within a tile. No displacement clamping:
+  the decomposition is exact for any flow magnitude.
+
+Mosaic requires dynamic sublane offsets to be 8-aligned, so each band step
+loads an aligned 16-row group and rotates it into place with a dynamic
+sublane roll (``tpu.dynamic_rotate``).
+
+Numerics match ops.farneback._warp_bilinear with warp_dtype=float32 (the
+strict cv2-parity path) for all in-bounds pixels; out-of-bounds lanes are
+discarded by the caller's ``inb`` mask exactly as in the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["warp_supported", "pack_warp_operand", "warp_bilinear_pallas"]
+
+# rows of edge padding above/below: covers the y+1 corner at y = H-1 AND the
+# 16-row aligned group read at the largest band offset (base+16 <= H+2*PAD)
+_PAD = 16
+_N_PLANES = 5
+
+
+def warp_supported(h: int, w: int) -> bool:
+    """Tile-alignment constraint of the Mosaic gather decomposition."""
+    return h % 8 == 0 and w % 128 == 0
+
+
+def pack_warp_operand(planes):
+    """[B,H,W] plane tuple -> (R, Rx) stacked [B,5,H+2*PAD,W] operands.
+
+    R is edge-padded in y; Rx is additionally shifted by one column with the
+    last column replicated (so a lane gather at x0 fetches the x0+1 corner,
+    clamped like the XLA path). Built once per pyramid level and reused by
+    every warp iteration at that level.
+    """
+    r = jnp.stack(planes, axis=1)  # [B, 5, H, W]
+    rx = jnp.concatenate([r[..., 1:], r[..., -1:]], axis=-1)
+    pad = ((0, 0), (0, 0), (_PAD, _PAD), (0, 0))
+    return jnp.pad(r, pad, mode="edge"), jnp.pad(rx, pad, mode="edge")
+
+
+def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + i * 8
+    xs = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) + j * 128
+    fx = xs.astype(jnp.float32) + u_ref[0]
+    fy = ys.astype(jnp.float32) + v_ref[0]
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    wx = fx - x1
+    wy = fy - y1
+    x0c = jnp.clip(x1.astype(jnp.int32), 0, w - 1)
+    y0c = jnp.clip(y1.astype(jnp.int32), 0, h - 1)
+
+    dy_top = y0c - ys                      # integer band offset per element
+    dy_lo = jnp.min(dy_top)
+    trip = jnp.max(dy_top) - dy_lo + 2     # +1 for the bottom corner row
+
+    n_pieces = w // 128
+    piece_idx = []
+    piece_mask = []
+    for piece in range(n_pieces):
+        lo = piece * 128
+        piece_idx.append(jnp.clip(x0c - lo, 0, 127))
+        piece_mask.append((x0c >= lo) & (x0c < lo + 128)
+                          if n_pieces > 1 else None)
+
+    zero = jnp.zeros((8, 128), jnp.float32)
+
+    def body(k, acc):
+        acc_top, acc_bot = acc
+        dy = dy_lo + k
+        start = i * 8 + dy + _PAD          # row offset into the padded plane
+        base = pl.multiple_of((start // 8) * 8, 8)
+        off = start - base                 # 0..7 sublane rotation
+        m_top = dy_top == dy
+        m_bot = dy_top + 1 == dy
+        new_top = []
+        new_bot = []
+        for p in range(_N_PLANES):
+            rows = pltpu.roll(r_ref[0, p, pl.ds(base, 16), :], -off, axis=0)
+            rowsx = pltpu.roll(rx_ref[0, p, pl.ds(base, 16), :], -off, axis=0)
+            vx = zero
+            for piece in range(n_pieces):
+                op = rows[:8, piece * 128:(piece + 1) * 128]
+                opx = rowsx[:8, piece * 128:(piece + 1) * 128]
+                g = jnp.take_along_axis(op, piece_idx[piece], axis=1)
+                gx = jnp.take_along_axis(opx, piece_idx[piece], axis=1)
+                val = g * (1.0 - wx) + gx * wx
+                if piece_mask[piece] is None:
+                    vx = val
+                else:
+                    vx = vx + jnp.where(piece_mask[piece], val, 0.0)
+            new_top.append(acc_top[p] + jnp.where(m_top, vx, 0.0))
+            new_bot.append(acc_bot[p] + jnp.where(m_bot, vx, 0.0))
+        return tuple(new_top), tuple(new_bot)
+
+    init = ((zero,) * _N_PLANES, (zero,) * _N_PLANES)
+    acc_top, acc_bot = jax.lax.fori_loop(0, trip, body, init)
+    for p in range(_N_PLANES):
+        out_ref[0, p] = acc_top[p] * (1.0 - wy) + acc_bot[p] * wy
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp_bilinear_pallas(r_pad: jax.Array, rx_pad: jax.Array,
+                         u: jax.Array, v: jax.Array,
+                         interpret: bool = False):
+    """Warp 5 packed planes by (u, v); returns [B, 5, H, W] float32.
+
+    r_pad/rx_pad come from :func:`pack_warp_operand`. The caller applies the
+    out-of-bounds mask (same contract as ops.farneback._warp_bilinear).
+    """
+    B, P, hp, w = r_pad.shape
+    h = hp - 2 * _PAD
+    assert P == _N_PLANES and warp_supported(h, w), (B, P, h, w)
+    return pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w),
+        grid=(B, h // 8, w // 128),
+        in_specs=[
+            pl.BlockSpec((1, _N_PLANES, hp, w), lambda b, i, j: (b, 0, 0, 0)),
+            pl.BlockSpec((1, _N_PLANES, hp, w), lambda b, i, j: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, _N_PLANES, 8, 128),
+                               lambda b, i, j: (b, 0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, _N_PLANES, h, w), jnp.float32),
+        interpret=interpret,
+    )(r_pad, rx_pad, u, v)

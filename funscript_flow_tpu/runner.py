@@ -31,7 +31,7 @@ from .io.funscript import funscript_path, write_funscript
 from .models.pipeline import PipelineConfig, StreamingFlowAnalyzer
 from .ops import signal_host
 from .ops.signal import DISCONTINUITY_THRESHOLD, signal_chain_device
-from .utils.logging import StageTimers
+from .utils.logging import StageTimers, profile_trace
 from .utils.params import Params
 from .utils.strings import STRINGS
 
@@ -134,7 +134,9 @@ def process_video(video_path: str, params: Params, log_func,
         cut_threshold=params.cut_threshold,
         pair_batch=params.pair_batch,
         flow_algorithm="dis" if params.backend == "DIS" else "farneback",
+        dis_preset=params.dis_preset,
         use_pallas=params.use_pallas,
+        warp_backend=params.warp_backend,
     )
     analyzer = StreamingFlowAnalyzer(cfg)
     source = None
@@ -144,7 +146,8 @@ def process_video(video_path: str, params: Params, log_func,
 
             if native_rt.available():
                 source = native_rt.NativeFrameSource(
-                    video_path, meta, params.vr_mode, cancel_flag=cancel_flag
+                    video_path, meta, params.vr_mode,
+                    depth=params.batch_size, cancel_flag=cancel_flag,
                 )
         except Exception as e:
             if params.use_native_decode == "on":
@@ -152,27 +155,29 @@ def process_video(video_path: str, params: Params, log_func,
                 return True
     if source is None:
         source = iodec.PrefetchingFrameSource(
-            video_path, meta, params.vr_mode, cancel_flag=cancel_flag
+            video_path, meta, params.vr_mode,
+            depth=params.batch_size, cancel_flag=cancel_flag,
         )
 
     results = []
     n_pairs_total = n_samples - 1
     timers = StageTimers()
     try:
-        while True:
-            if cancel_flag is not None and cancel_flag():
-                log_func(STRINGS["user_cancelled"])
-                return False
-            with timers.stage("decode_wait"):
-                batch = source.get_batch(cfg.pair_batch)
-            with timers.stage("device_compute"):
-                if batch:
-                    results.extend(analyzer.push(batch))
-                else:
-                    results.extend(analyzer.flush())
-                    break
-            if progress_callback is not None:
-                progress_callback(min(100, int(100 * analyzer.pairs_emitted / max(1, n_pairs_total))))
+        with profile_trace(params.profile_dir or None):
+            while True:
+                if cancel_flag is not None and cancel_flag():
+                    log_func(STRINGS["user_cancelled"])
+                    return False
+                with timers.stage("decode_wait"):
+                    batch = source.get_batch(cfg.pair_batch)
+                with timers.stage("device_compute"):
+                    if batch:
+                        results.extend(analyzer.push(batch))
+                    else:
+                        results.extend(analyzer.flush())
+                        break
+                if progress_callback is not None:
+                    progress_callback(min(100, int(100 * analyzer.pairs_emitted / max(1, n_pairs_total))))
     except Exception as e:
         log_func(f"ERROR: analysis failed for {video_path}: {e}")
         return True

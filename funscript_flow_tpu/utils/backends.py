@@ -19,7 +19,10 @@ def get_available_backends() -> dict:
         import jax
 
         devs = jax.devices()
-        out["TPU"] = any(d.platform != "cpu" for d in devs) or bool(devs)
+        # an accelerator platform must actually be present; a CPU-only JAX
+        # install does NOT make the TPU backend available (round-1 bug: an
+        # `or bool(devs)` clause here reported TPU=True on CPU-only boxes)
+        out["TPU"] = any(d.platform != "cpu" for d in devs)
     except Exception:
         pass
     try:

@@ -24,7 +24,9 @@ class Params:
     threads: int = 8                 # host decode concurrency (reference :2644)
     detrend_window: float = 2.0      # seconds (reference :2645)
     norm_window: float = 3.0         # seconds (reference :2646)
-    batch_size: int = 3000           # frames per host bracket (reference :2647)
+    batch_size: int = 3000           # host decode read-ahead depth in frames
+                                     # (reference's frames-per-bracket, :2647 —
+                                     # here it bounds prefetch-queue memory)
     overwrite: bool = False
     vr_mode: bool = False
     pov_mode: bool = False
@@ -35,6 +37,9 @@ class Params:
     pair_batch: int = 240            # device micro-batch of frame pairs
     use_native_decode: str = "auto"  # auto | on | off (C++ frame_pump runtime)
     use_pallas: bool = False         # fused Mosaic kernels (polyexp, blur/solve)
+    warp_backend: str = "auto"       # auto | pallas | xla (Farnebäck warp impl)
+    dis_preset: str = "fast"         # ultrafast | fast | medium (DIS backend)
+    profile_dir: str = ""            # jax.profiler trace dir ("" = off)
 
     def __post_init__(self):
         b = str(self.backend).upper()
@@ -43,6 +48,8 @@ class Params:
             raise ValueError(f"Unknown backend: {self.backend}")
         if self.signal_backend not in ("auto", "host", "device"):
             raise ValueError(f"Unknown signal_backend: {self.signal_backend}")
+        if self.warp_backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"Unknown warp_backend: {self.warp_backend}")
 
     @classmethod
     def from_dict(cls, d: dict) -> "Params":

@@ -35,18 +35,73 @@ def test_dis_recovers_translation(shift):
     assert epe < 1.0, f"mean EPE {epe} for shift {shift}"
 
 
-def test_dis_comparable_to_cv2_dis():
-    """On the same input, our EPE should be within 3x of cv2 DIS FAST's."""
+@pytest.mark.parametrize("shift", [(2.5, -1.5), (4.5, 3.0), (-8.0, 6.0)])
+def test_dis_comparable_to_cv2_dis(shift):
+    """Same input: our FAST-preset EPE within ~1.5x of cv2 DIS FAST's.
+
+    (Round 1 ran without variational refinement and allowed 3x; the
+    refinement brought the measured ratios to 1.1-1.6x.)
+    """
     rng = np.random.default_rng(9)
-    shift = (2.5, -1.5)
     f0, f1 = make_pair(rng, 256, 256, shift)
     dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_FAST)
     want = dis.calc(f0, f1, None)
-    u, v = dis_flow_planes(jnp.asarray(f0[None]), jnp.asarray(f1[None]))
+    u, v = dis_flow_planes(jnp.asarray(f0[None]), jnp.asarray(f1[None]),
+                           DISConfig.preset("fast"))
     got = np.stack([np.asarray(u)[0], np.asarray(v)[0]], -1)
     def epe(fl):
         return np.hypot(fl[32:-32, 32:-32, 0] - shift[0], fl[32:-32, 32:-32, 1] - shift[1]).mean()
-    assert epe(got) < max(3 * epe(want), 0.8), (epe(got), epe(want))
+    assert epe(got) < max(1.7 * epe(want), 0.3), (epe(got), epe(want))
+
+
+def test_variational_refinement_improves_noisy_flow():
+    """Brox refinement must shrink the EPE of a noise-perturbed true flow,
+    at least as much as cv2.VariationalRefinement does on the same input."""
+    from funscript_flow_tpu.models.dis import variational_refinement
+
+    rng = np.random.default_rng(0)
+    h = w = 64
+    base = cv2.GaussianBlur(
+        rng.normal(size=(h + 20, w + 20)).astype(np.float32), (0, 0), 3
+    ) * 60 + 128
+    I0 = base[10:10 + h, 10:10 + w]
+    mx, my = np.meshgrid(np.arange(w, dtype=np.float32) + 10 + 1.3,
+                         np.arange(h, dtype=np.float32) + 10 - 0.8)
+    I1 = cv2.remap(base, mx, my, cv2.INTER_LINEAR)
+    tu, tv = -1.3, 0.8
+    u0 = np.full((h, w), tu, np.float32) + rng.normal(size=(h, w)).astype(np.float32) * 0.4
+    v0 = np.full((h, w), tv, np.float32) + rng.normal(size=(h, w)).astype(np.float32) * 0.4
+
+    def epe(u, v):
+        return float(np.mean(np.hypot(u - tu, v - tv)))
+
+    uu, vv = variational_refinement(
+        jnp.asarray(I0[None]), jnp.asarray(I1[None]),
+        jnp.asarray(u0[None]), jnp.asarray(v0[None]), DISConfig()
+    )
+    ours = epe(np.asarray(uu[0]), np.asarray(vv[0]))
+
+    flow = np.stack([u0, v0], axis=-1).astype(np.float32)
+    cv2.VariationalRefinement_create().calc(
+        I0.astype(np.uint8), I1.astype(np.uint8), flow
+    )
+    theirs = epe(flow[..., 0], flow[..., 1])
+    assert ours < epe(u0, v0) * 0.5
+    assert ours < max(1.5 * theirs, 0.1), (ours, theirs)
+
+
+def test_dis_presets_match_cv2_knobs():
+    """Preset table mirrors cv2.DISOpticalFlow getters."""
+    for name, cv_preset in [("ultrafast", cv2.DISOPTICAL_FLOW_PRESET_ULTRAFAST),
+                            ("fast", cv2.DISOPTICAL_FLOW_PRESET_FAST),
+                            ("medium", cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)]:
+        ours = DISConfig.preset(name)
+        d = cv2.DISOpticalFlow_create(cv_preset)
+        assert ours.finest_scale == d.getFinestScale()
+        assert ours.patch_size == d.getPatchSize()
+        assert ours.patch_stride == d.getPatchStride()
+        assert ours.gd_iters == d.getGradientDescentIterations()
+        assert ours.var_iters == d.getVariationalRefinementIterations()
 
 
 def test_dis_zero_motion_is_zeroish():

@@ -50,8 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto", help="Where the 1-D signal chain runs")
     p.add_argument("--pair_batch", type=int, default=240,
                    help="Device micro-batch of frame pairs (default: 240)")
-    p.add_argument("--use_pallas", action="store_true",
-                   help="Use the fused Mosaic kernels for polyexp + blur/solve")
+    p.add_argument("--use_pallas", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="Fused Mosaic kernels for polyexp + blur/solve "
+                        "(auto = on when running on TPU; measured +36%% pairs/s)")
     p.add_argument("--dis_preset", choices=["ultrafast", "fast", "medium"],
                    default="fast",
                    help="DIS backend preset (cv2 equivalents; default: fast)")

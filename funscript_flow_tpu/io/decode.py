@@ -28,7 +28,8 @@ from typing import Iterator, Optional
 import cv2
 import numpy as np
 
-__all__ = ["VideoMeta", "probe", "preprocess_frame", "sampled_frames", "PrefetchingFrameSource"]
+__all__ = ["VideoMeta", "probe", "preprocess_frame", "sampled_frames",
+           "PrefetchingFrameSource", "ShardedFrameSource"]
 
 ANALYSIS_SIZE = 256
 VR_DECODE_SIZE = 512
@@ -91,12 +92,15 @@ def preprocess_frame(bgr: np.ndarray, vr_mode: bool) -> np.ndarray:
 
 
 def sampled_frames(path: str, meta: VideoMeta, vr_mode: bool = False,
-                   cancel_flag=None) -> Iterator[np.ndarray]:
+                   cancel_flag=None, start_sample: int = 0,
+                   max_samples: int = -1) -> Iterator[np.ndarray]:
     """Sequential decode of the ~30 fps sampling grid.
 
     Yields [256, 256, 3] uint8 RGB frames, one per sampled index, black frame
     on decode failure (reference :274-280). Stops early if the container runs
-    short of its advertised frame count.
+    short of its advertised frame count. ``start_sample``/``max_samples``
+    select a contiguous sampled-grid range (one frame-accurate seek, then
+    sequential) — the unit of host-parallel decode.
     """
     cap = cv2.VideoCapture(path)
     try:
@@ -105,8 +109,12 @@ def sampled_frames(path: str, meta: VideoMeta, vr_mode: bool = False,
         step = meta.step
         black = np.zeros((ANALYSIS_SIZE, ANALYSIS_SIZE, 3), np.uint8)
         emitted = 0
-        n_samples = len(meta.sampled_indices)
-        pos = 0
+        n_samples = len(meta.sampled_indices) - start_sample
+        if max_samples >= 0:
+            n_samples = min(n_samples, max_samples)
+        pos = start_sample * step
+        if start_sample > 0:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, float(pos))
         while emitted < n_samples:
             if cancel_flag is not None and cancel_flag():
                 return
@@ -134,7 +142,8 @@ class PrefetchingFrameSource:
     """
 
     def __init__(self, path: str, meta: VideoMeta, vr_mode: bool = False,
-                 depth: int = 512, cancel_flag=None):
+                 depth: int = 512, cancel_flag=None,
+                 start_sample: int = 0, max_samples: int = -1):
         self._q: Queue = Queue(maxsize=depth)
         self._done = object()
         self._cancel = cancel_flag
@@ -143,7 +152,8 @@ class PrefetchingFrameSource:
 
         def work():
             try:
-                for f in sampled_frames(path, meta, vr_mode, cancel_flag):
+                for f in sampled_frames(path, meta, vr_mode, cancel_flag,
+                                        start_sample, max_samples):
                     # bounded put that aborts on close(): a plain blocking
                     # put could refill the queue after close()'s drain and
                     # park the thread forever (round-1 shutdown race)
@@ -189,6 +199,68 @@ class PrefetchingFrameSource:
             except Empty:
                 break
         self._thread.join(timeout=5.0)
+
+
+class ShardedFrameSource:
+    """Host-parallel decode: N workers over disjoint contiguous sampled
+    ranges, consumed in order.
+
+    This is what the reference's ``threads`` knob becomes on this
+    architecture (its per-frame-seek thread pool, FunscriptFlow.pyw:264-272,
+    doesn't survive sequential decode): shard the sampled grid into
+    ``shards`` contiguous ranges, give each its own decoder (Python
+    PrefetchingFrameSource or native frame_pump — both decode sequentially
+    after one frame-accurate seek), and drain shard 0..N-1 in order while
+    later shards decode ahead. cv2/ffmpeg release the GIL, so Python-thread
+    workers scale across host cores.
+
+    Alignment guarantee: if a non-final shard comes up short (container
+    shorter than its metadata claims), the gap is filled with black frames so
+    downstream pair/timestamp alignment is preserved (the final shard just
+    ends, matching sequential semantics).
+    """
+
+    def __init__(self, factory, n_samples: int, shards: int, depth: int = 512):
+        # below ~32 samples a shard isn't worth its seek; clamp shard count
+        shards = max(1, min(shards, max(1, n_samples // 32)))
+        bounds = np.linspace(0, n_samples, shards + 1).astype(int)
+        self._subs = []
+        self._expect = []
+        per_depth = max(16, depth // shards)
+        for i in range(shards):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi > lo:
+                self._subs.append(factory(lo, hi - lo, per_depth))
+                self._expect.append(hi - lo)
+        self._cur = 0
+        self._got_in_cur = 0
+
+    def get_batch(self, n: int) -> list:
+        out: list = []
+        black = None
+        while len(out) < n and self._cur < len(self._subs):
+            got = self._subs[self._cur].get_batch(n - len(out))
+            if got:
+                out.extend(got)
+                self._got_in_cur += len(got)
+                continue
+            missing = self._expect[self._cur] - self._got_in_cur
+            if missing > 0 and self._cur < len(self._subs) - 1:
+                if black is None:
+                    black = np.zeros((ANALYSIS_SIZE, ANALYSIS_SIZE, 3), np.uint8)
+                fill = min(missing, n - len(out))
+                out.extend(black.copy() for _ in range(fill))
+                self._got_in_cur += fill
+                continue
+            self._subs[self._cur].close()
+            self._cur += 1
+            self._got_in_cur = 0
+        return out
+
+    def close(self):
+        for s in self._subs[self._cur:]:
+            s.close()
+        self._cur = len(self._subs)
 
 
 def find_videos(root: str) -> list:

@@ -51,7 +51,8 @@ class PipelineConfig:
     pair_batch: int = 240      # device micro-batch of pairs (tunable)
     flow_algorithm: str = "farneback"  # farneback | dis (reference "DNN" backend)
     dis_preset: str = "fast"           # ultrafast | fast | medium (cv2 presets)
-    use_pallas: bool = False           # fused Mosaic kernels for polyexp + blur/solve
+    use_pallas: str = "auto"           # fused Mosaic polyexp + blur/solve
+                                       # kernels: auto (on for TPU) | on | off
     warp_backend: str = "auto"         # auto | pallas | xla (ops.farneback)
     warp_dtype: str = "bfloat16"       # XLA warp-path operand dtype
     pyr_scale: float = 0.5

@@ -103,6 +103,46 @@ def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
         )[0:2]
 
 
+def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func):
+    """Decode source for one video: native (C++ frame_pump) when available,
+    sharded over ``params.threads`` workers when threads > 1 (the reference's
+    ``threads`` knob, :2644, remapped to range-parallel sequential decode).
+    Returns None on a hard error (native decode forced but unavailable).
+    """
+    native_rt = None
+    if params.use_native_decode in ("auto", "on"):
+        try:
+            from . import runtime as _rt
+
+            if _rt.available():
+                native_rt = _rt
+        except Exception as e:
+            if params.use_native_decode == "on":
+                log_func(f"ERROR: native decode requested but unavailable: {e}")
+                return None
+        if native_rt is None and params.use_native_decode == "on":
+            log_func("ERROR: native decode requested but unavailable")
+            return None
+
+    def factory(start, count, depth):
+        if native_rt is not None:
+            return native_rt.NativeFrameSource(
+                video_path, meta, params.vr_mode, depth=depth,
+                cancel_flag=cancel_flag, start_sample=start, max_samples=count,
+            )
+        return iodec.PrefetchingFrameSource(
+            video_path, meta, params.vr_mode, depth=depth,
+            cancel_flag=cancel_flag, start_sample=start, max_samples=count,
+        )
+
+    n_samples = len(meta.sampled_indices)
+    if params.threads > 1:
+        return iodec.ShardedFrameSource(
+            factory, n_samples, params.threads, depth=params.batch_size
+        )
+    return factory(0, -1, params.batch_size)
+
+
 def process_video(video_path: str, params: Params, log_func,
                   progress_callback=None, cancel_flag=None) -> bool:
     """Process one video into a ``.funscript``. Returns error_occurred."""
@@ -139,25 +179,9 @@ def process_video(video_path: str, params: Params, log_func,
         warp_backend=params.warp_backend,
     )
     analyzer = StreamingFlowAnalyzer(cfg)
-    source = None
-    if params.use_native_decode in ("auto", "on"):
-        try:
-            from . import runtime as native_rt
-
-            if native_rt.available():
-                source = native_rt.NativeFrameSource(
-                    video_path, meta, params.vr_mode,
-                    depth=params.batch_size, cancel_flag=cancel_flag,
-                )
-        except Exception as e:
-            if params.use_native_decode == "on":
-                log_func(f"ERROR: native decode requested but unavailable: {e}")
-                return True
+    source = _make_frame_source(video_path, meta, params, cancel_flag, log_func)
     if source is None:
-        source = iodec.PrefetchingFrameSource(
-            video_path, meta, params.vr_mode,
-            depth=params.batch_size, cancel_flag=cancel_flag,
-        )
+        return True
 
     results = []
     n_pairs_total = n_samples - 1

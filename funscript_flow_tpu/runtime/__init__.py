@@ -52,6 +52,9 @@ def _load():
         lib = ctypes.CDLL(_SO)
         lib.fp_open.restype = ctypes.c_void_p
         lib.fp_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.fp_open_range.restype = ctypes.c_void_p
+        lib.fp_open_range.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong]
         lib.fp_meta.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
                                 ctypes.POINTER(ctypes.c_longlong),
                                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
@@ -71,12 +74,14 @@ class NativeFrameSource:
     """Drop-in for io.decode.PrefetchingFrameSource backed by frame_pump."""
 
     def __init__(self, path: str, meta, vr_mode: bool = False,
-                 depth: int = 512, cancel_flag=None):
+                 depth: int = 512, cancel_flag=None,
+                 start_sample: int = 0, max_samples: int = -1):
         lib = _load()
         if lib is None:
             raise RuntimeError("libframe_pump.so not available (build failed)")
         self._lib = lib
-        self._h = lib.fp_open(path.encode(), int(vr_mode), int(meta.step), int(depth))
+        self._h = lib.fp_open_range(path.encode(), int(vr_mode), int(meta.step),
+                                    int(depth), int(start_sample), int(max_samples))
         if not self._h:
             raise IOError(f"Cannot open video: {path}")
         self._cancel_flag = cancel_flag

@@ -40,6 +40,8 @@ struct FramePump {
   int step = 1;
   bool vr_mode = false;
   size_t queue_depth = 256;
+  long long start_sample = 0;   // first sampled-grid index this pump decodes
+  long long max_samples = -1;   // -1 = through end of video
 
   std::thread worker;
   std::mutex mu;
@@ -53,8 +55,11 @@ struct FramePump {
 
   void run() {
     cv::Mat bgr, resized, cropped, rgb;
-    long long pos = 0;
-    long long n_samples = (total_frames + step - 1) / step;
+    long long pos = start_sample * step;
+    long long n_total = (total_frames + step - 1) / step;
+    long long n_samples = n_total - start_sample;
+    if (max_samples >= 0 && max_samples < n_samples) n_samples = max_samples;
+    if (n_samples < 0) n_samples = 0;
     long long emitted = 0;
     while (!cancel.load() && emitted < n_samples) {
       if (!cap.grab()) break;  // container shorter than advertised: clean EOF
@@ -130,7 +135,11 @@ struct FramePump {
 
 extern "C" {
 
-void* fp_open(const char* path, int vr_mode, int step, int queue_depth) {
+// Range variant: decode ``max_samples`` sampled-grid frames starting at
+// sampled index ``start_sample`` (one frame-accurate seek, then sequential).
+// Powers host-parallel decode: N pumps over disjoint contiguous ranges.
+void* fp_open_range(const char* path, int vr_mode, int step, int queue_depth,
+                    long long start_sample, long long max_samples) {
   auto* p = new FramePump();
   if (!p->cap.open(path)) {
     delete p;
@@ -143,8 +152,18 @@ void* fp_open(const char* path, int vr_mode, int step, int queue_depth) {
   p->step = step > 0 ? step : 1;
   p->vr_mode = vr_mode != 0;
   p->queue_depth = queue_depth > 0 ? static_cast<size_t>(queue_depth) : 256;
+  p->start_sample = start_sample > 0 ? start_sample : 0;
+  p->max_samples = max_samples;
+  if (p->start_sample > 0) {
+    p->cap.set(cv::CAP_PROP_POS_FRAMES,
+               static_cast<double>(p->start_sample * p->step));
+  }
   p->worker = std::thread([p] { p->run(); });
   return p;
+}
+
+void* fp_open(const char* path, int vr_mode, int step, int queue_depth) {
+  return fp_open_range(path, vr_mode, step, queue_depth, 0, -1);
 }
 
 void fp_meta(void* h, double* fps, long long* total_frames, int* w, int* hgt) {

@@ -36,7 +36,7 @@ class Params:
     signal_backend: str = "auto"     # auto | host | device
     pair_batch: int = 240            # device micro-batch of frame pairs
     use_native_decode: str = "auto"  # auto | on | off (C++ frame_pump runtime)
-    use_pallas: bool = False         # fused Mosaic kernels (polyexp, blur/solve)
+    use_pallas: str = "auto"         # fused Mosaic kernels: auto | on | off
     warp_backend: str = "auto"       # auto | pallas | xla (Farnebäck warp impl)
     dis_preset: str = "fast"         # ultrafast | fast | medium (DIS backend)
     profile_dir: str = ""            # jax.profiler trace dir ("" = off)
@@ -50,6 +50,12 @@ class Params:
             raise ValueError(f"Unknown signal_backend: {self.signal_backend}")
         if self.warp_backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"Unknown warp_backend: {self.warp_backend}")
+        if isinstance(self.use_pallas, bool):  # legacy bool accepted
+            self.use_pallas = "on" if self.use_pallas else "off"
+        if self.use_pallas not in ("auto", "on", "off"):
+            raise ValueError(f"Unknown use_pallas: {self.use_pallas}")
+        if self.dis_preset not in ("ultrafast", "fast", "medium"):
+            raise ValueError(f"Unknown dis_preset: {self.dis_preset}")
 
     @classmethod
     def from_dict(cls, d: dict) -> "Params":

@@ -12,9 +12,9 @@ native:
 test: native
 	python -m pytest tests/ -x -q
 
+# dev loop: skips the marked golden/e2e tests (~2 min vs ~30)
 test-fast:
-	python -m pytest tests/test_signal_host.py tests/test_aux.py \
-	    tests/test_worker_cli.py tests/test_streaming.py -x -q
+	python -m pytest tests/ -m "not slow" -x -q
 
 bench: native
 	python bench.py

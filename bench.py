@@ -1,37 +1,55 @@
-"""End-to-end benchmark: 1080p30 video -> funscript, x-realtime per chip.
+"""End-to-end benchmark: video -> funscript, x-realtime per chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N}
+Prints ONE JSON line. Headline metric (stable across rounds): a 20 s
+synthetic 1080p30 clip processed end-to-end (decode + flow + signal + emit),
+best of 3. Extra fields in the same line:
+
+* ``folder_x_realtime`` — the reference's actual workload shape ("a hundred
+  gigs per day", README.md:1): a folder of three mixed-length clips through
+  ``run_headless`` (exercises cross-video decode prefetch), one pass.
+* ``decode_wait_s`` / ``device_compute_s`` — stage split of the best
+  single-clip run (from the runner's StageTimers).
+* ``pairs_per_s`` — device-side flow throughput implied by that run.
+* ``codec`` — h264 when an encoder is available (long-GOP, like real
+  content), else mp4v.
 
 Baseline: the reference is "usually faster than watching it" on a desktop
 CPU, i.e. ~1x realtime (README.md:52-53, BASELINE.md) — ``vs_baseline`` is
-therefore the same multiple. A synthetic 1080p30 clip with real texture +
-motion (zoom oscillation, pan, one scene cut) is generated on first run and
-cached; jit warmup runs on a small window first so one-time compilation is
-not billed against steady-state throughput (a folder batch amortizes it).
+the same multiple.
 """
 
 import json
 import os
+import re
 import sys
 import time
 
 import numpy as np
 
-
-BENCH_VIDEO = "/tmp/ff_bench_1080p30.mp4"
+BENCH_DIR = "/tmp/ff_bench"
 DURATION_S = 20.0
 FPS = 30
 
 
-def make_bench_video(path: str) -> None:
+def _writer(path, fps, size):
+    """Prefer an h264 encoder (long-GOP, like real content); mp4v fallback."""
     import cv2
 
-    h, w = 1080, 1920
-    n = int(DURATION_S * FPS)
-    rng = np.random.default_rng(0)
+    for fourcc in ("avc1", "H264", "mp4v"):
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), fps, size)
+        if vw.isOpened():
+            return vw, ("h264" if fourcc != "mp4v" else "mp4v")
+    raise RuntimeError("no usable encoder")
+
+
+def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
+                     seed: int = 0) -> str:
+    import cv2
+
+    n = int(seconds * FPS)
+    rng = np.random.default_rng(seed)
     tex = cv2.GaussianBlur((rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 5)
-    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (w, h))
+    vw, codec = _writer(path, FPS, (w, h))
     for i in range(n):
         if i == n // 2:
             tex = cv2.GaussianBlur(
@@ -43,6 +61,7 @@ def make_bench_video(path: str) -> None:
         img = cv2.warpAffine(tex, M, (w * 2, h * 2))[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
         vw.write(cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2BGR))
     vw.release()
+    return codec
 
 
 def main() -> None:
@@ -51,11 +70,30 @@ def main() -> None:
 
     enable_persistent_cache()
     from funscript_flow_tpu.models.pipeline import PipelineConfig, flow_chunk_program
-    from funscript_flow_tpu.runner import process_video
+    from funscript_flow_tpu.runner import process_video, run_headless
     from funscript_flow_tpu.utils.params import Params
 
-    if not os.path.exists(BENCH_VIDEO):
-        make_bench_video(BENCH_VIDEO)
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    main_clip = os.path.join(BENCH_DIR, "clip_main.mp4")
+    folder = os.path.join(BENCH_DIR, "folder")
+    os.makedirs(folder, exist_ok=True)
+    codec = None
+    if not os.path.exists(main_clip):
+        codec = make_bench_video(main_clip, DURATION_S)
+    folder_specs = [("a_20s_1080p.mp4", 20.0, 1080, 1920, 1),
+                    ("b_12s_1080p.mp4", 12.0, 1080, 1920, 2),
+                    ("c_8s_720p.mp4", 8.0, 720, 1280, 3)]
+    for name, secs, h, w, seed in folder_specs:
+        p = os.path.join(folder, name)
+        if not os.path.exists(p):
+            codec = make_bench_video(p, secs, h, w, seed) or codec
+    if codec is None:  # clips were cached; probe the encoder choice cheaply
+        import cv2
+
+        vw = cv2.VideoWriter(os.path.join(BENCH_DIR, "probe.mp4"),
+                             cv2.VideoWriter_fourcc(*"avc1"), 30, (64, 64))
+        codec = "h264" if vw.isOpened() else "mp4v"
+        vw.release()
 
     params = Params(overwrite=True)
 
@@ -66,24 +104,43 @@ def main() -> None:
     warm_frames = np.zeros((params.pair_batch + 13, 256, 256, 3), np.uint8)
     flow_chunk_program(jnp.asarray(warm_frames), jnp.int32(4), cfg)["dots"].block_until_ready()
 
-    # best of 3: the shared TPU pool shows multi-x transient contention;
-    # steady-state throughput is the meaningful number for a folder batch
-    walls = []
+    # --- scenario 1: single 20 s 1080p30 clip, best of 3 (shared-pool noise) ---
+    walls, splits = [], []
+    timer_re = re.compile(r"decode_wait=([0-9.]+)s device_compute=([0-9.]+)s")
     for _ in range(3):
+        lines = []
         t0 = time.time()
-        err = process_video(BENCH_VIDEO, params, log_func=lambda m: None)
+        err = process_video(main_clip, params, log_func=lines.append)
         wall = time.time() - t0
         if err:
             print(json.dumps({"metric": "bench_error", "value": 0, "unit": "", "vs_baseline": 0}))
             return
+        m = next((timer_re.search(ln) for ln in lines if timer_re.search(ln)), None)
         walls.append(wall)
+        splits.append((float(m.group(1)), float(m.group(2))) if m else (0.0, 0.0))
 
-    x_rt = DURATION_S / min(walls)
+    best = int(np.argmin(walls))
+    x_rt = DURATION_S / walls[best]
+    decode_wait, device_compute = splits[best]
+    n_pairs = int(DURATION_S * FPS) - 1
+    pairs_per_s = n_pairs / max(device_compute, 1e-9)
+
+    # --- scenario 2: folder batch (3 clips, 40 s of video), one pass ---
+    total_secs = sum(s for _, s, _, _, _ in folder_specs)
+    t0 = time.time()
+    err = run_headless(folder, params, log_path=os.path.join(BENCH_DIR, "run.log"))
+    folder_x_rt = 0.0 if err else total_secs / (time.time() - t0)
+
     print(json.dumps({
         "metric": "1080p30 end-to-end (decode+flow+signal+emit) per chip",
         "value": round(x_rt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(x_rt / 1.0, 2),
+        "folder_x_realtime": round(folder_x_rt, 2),
+        "decode_wait_s": round(decode_wait, 2),
+        "device_compute_s": round(device_compute, 2),
+        "pairs_per_s": round(pairs_per_s, 1),
+        "codec": codec,
     }))
 
 

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="Fused Mosaic kernels for polyexp + blur/solve "
                         "(auto = on when running on TPU; measured +36%% pairs/s)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="Shard each video's pair windows over N devices "
+                        "(jax mesh + shard_map; 0 = single device)")
     p.add_argument("--dis_preset", choices=["ultrafast", "fast", "medium"],
                    default="fast",
                    help="DIS backend preset (cv2 equivalents; default: fast)")
@@ -93,6 +96,7 @@ def main(argv=None) -> int:
         use_pallas=args.use_pallas,
         warp_backend=args.warp_backend,
         dis_preset=args.dis_preset,
+        mesh=args.mesh,
         profile_dir=args.profile_dir,
     )
     any_error = run_headless(args.input, params, log_path=args.log)

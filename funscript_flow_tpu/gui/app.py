@@ -16,24 +16,70 @@ with CPython, so the GUI is rebuilt on tkinter with the same surface:
   gui.preview) — reference :2426-2444
 * working config save/load buttons (the reference's save was unreachable
   from its UI, :2266-2281)
-
-Drag-and-drop is not supported (needs a tk extension); use the pickers.
+* hover tooltips on the mode checkboxes (reference ToolTip, :391-395,
+  :2004-2018), an in-app Readme dialog (reference shows readme.txt), and
+  drag-and-drop of files/folders when the tkdnd extension is present
+  (reference :2511-2516 — dropped folders are scanned NON-recursively,
+  unlike the folder button; quirk kept).
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import threading
 import webbrowser
 
-from ..io.decode import find_videos
+from ..io.decode import SUPPORTED_VIDEO_EXTENSIONS, find_videos
 from ..utils.backends import get_available_backends, get_device_info
 from ..utils.config import load_config, save_config
 from ..utils.params import Params
 from ..utils.strings import STRINGS
 from ..worker import BatchWorker
 
-__all__ = ["collect_settings", "launch"]
+__all__ = ["collect_settings", "expand_dropped_paths", "launch"]
+
+
+def expand_dropped_paths(paths) -> list:
+    """Dropped files/folders -> video list (reference :2511-2516 semantics:
+    folders are scanned one level deep via glob, NOT recursively)."""
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            for q in sorted(glob.glob(os.path.join(p, "*"))):
+                if os.path.splitext(q)[1].lower() in SUPPORTED_VIDEO_EXTENSIONS:
+                    out.append(q)
+        elif os.path.splitext(p)[1].lower() in SUPPORTED_VIDEO_EXTENSIONS:
+            out.append(p)
+    return out
+
+
+def _add_tooltip(widget, text: str) -> None:
+    """Hover tooltip (the reference wrapped Qt's setToolTip, :391-395;
+    tkinter needs the classic Toplevel-on-hover pattern)."""
+    import tkinter as tk
+
+    state = {"tip": None}
+
+    def show(_event=None):
+        if state["tip"] is not None:
+            return
+        x = widget.winfo_rootx() + 16
+        y = widget.winfo_rooty() + widget.winfo_height() + 4
+        tip = tk.Toplevel(widget)
+        tip.wm_overrideredirect(True)
+        tip.wm_geometry(f"+{x}+{y}")
+        tk.Label(tip, text=text, justify="left", relief="solid",
+                 borderwidth=1, padx=4, pady=2).pack()
+        state["tip"] = tip
+
+    def hide(_event=None):
+        if state["tip"] is not None:
+            state["tip"].destroy()
+            state["tip"] = None
+
+    widget.bind("<Enter>", show)
+    widget.bind("<Leave>", hide)
 
 
 def collect_settings(widgets: dict) -> Params:
@@ -94,9 +140,35 @@ def launch() -> int:
 
     bar = ttk.Frame(frm_files)
     bar.pack(fill="x", padx=4, pady=2)
-    ttk.Button(bar, text="Add files", command=add_files).pack(side="left")
-    ttk.Button(bar, text="Add folder", command=add_folder).pack(side="left", padx=4)
+    ttk.Button(bar, text=STRINGS["select_videos"], command=add_files).pack(side="left")
+    ttk.Button(bar, text=STRINGS["select_folder"], command=add_folder).pack(side="left", padx=4)
     ttk.Button(bar, text="Clear", command=clear_files).pack(side="left")
+
+    def show_readme():
+        from .manual import MANUAL
+
+        win = tk.Toplevel(root)
+        win.title(STRINGS["readme"])
+        txt = tk.Text(win, width=76, height=32, wrap="word")
+        txt.insert("1.0", MANUAL)
+        txt.configure(state="disabled")
+        txt.pack(fill="both", expand=True, padx=6, pady=6)
+
+    ttk.Button(bar, text=STRINGS["readme"], command=show_readme).pack(side="right")
+
+    # drag-and-drop via the tkdnd Tk extension when present (reference
+    # :2511-2516); silently unavailable otherwise — the pickers cover it
+    def _on_drop(event):
+        for p in expand_dropped_paths(root.tk.splitlist(event.data)):
+            files.append(p)
+            listbox.insert("end", p)
+
+    try:
+        root.tk.call("package", "require", "tkdnd")
+        root.tk.call("tkdnd::drop_target", "register", listbox._w, ("DND_Files",))
+        listbox.bind("<<Drop>>", _on_drop)
+    except Exception:
+        pass
 
     # --- options -------------------------------------------------------------
     frm_opt = ttk.LabelFrame(root, text="Options")
@@ -105,11 +177,15 @@ def launch() -> int:
     v_pov = tk.BooleanVar(value=False)
     v_kr = tk.BooleanVar(value=True)
     v_ow = tk.BooleanVar(value=False)
-    ttk.Checkbutton(frm_opt, text="VR mode", variable=v_vr).grid(row=0, column=0, sticky="w")
-    ttk.Checkbutton(frm_opt, text="POV mode", variable=v_pov).grid(row=0, column=1, sticky="w")
+    cb_vr = ttk.Checkbutton(frm_opt, text=STRINGS["vr_mode"], variable=v_vr)
+    cb_vr.grid(row=0, column=0, sticky="w")
+    cb_pov = ttk.Checkbutton(frm_opt, text="POV Mode", variable=v_pov)
+    cb_pov.grid(row=0, column=1, sticky="w")
+    _add_tooltip(cb_vr, STRINGS["vr_mode_tooltip"])
+    _add_tooltip(cb_pov, STRINGS["pov_mode_tooltip"])
     ttk.Checkbutton(frm_opt, text="Keyframe reduction", variable=v_kr).grid(row=0, column=2, sticky="w")
-    ttk.Checkbutton(frm_opt, text="Overwrite existing", variable=v_ow).grid(row=0, column=3, sticky="w")
-    ttk.Label(frm_opt, text="Backend:").grid(row=1, column=0, sticky="e")
+    ttk.Checkbutton(frm_opt, text=STRINGS["overwrite_files"], variable=v_ow).grid(row=0, column=3, sticky="w")
+    ttk.Label(frm_opt, text=STRINGS["backend"]).grid(row=1, column=0, sticky="e")
     v_backend = tk.StringVar(value="TPU")
     choices = [f"TPU {'(available)' if backends['TPU'] else '(no device!)'}",
                "DIS (available)"]
@@ -117,14 +193,14 @@ def launch() -> int:
                  state="readonly", width=24).grid(row=1, column=1, columnspan=2, sticky="w")
 
     # --- advanced ------------------------------------------------------------
-    frm_adv = ttk.LabelFrame(root, text="Advanced settings")
+    frm_adv = ttk.LabelFrame(root, text=STRINGS["advanced_settings"])
     frm_adv.pack(fill="x", padx=8, pady=4)
     entries = {}
     for i, (label, key, default) in enumerate([
-        ("Threads", "threads", 8),
-        ("Detrend window (s)", "detrend_window", 2.0),
-        ("Norm window (s)", "norm_window", 3.0),
-        ("Batch size", "batch_size", 3000),
+        (STRINGS["threads"], "threads", 8),
+        (STRINGS["detrend_window"], "detrend_window", 2.0),
+        (STRINGS["norm_window"], "norm_window", 3.0),
+        (STRINGS["batch_size"], "batch_size", 3000),
         ("Cut threshold", "cut_threshold", 7.0),
     ]):
         ttk.Label(frm_adv, text=label).grid(row=i // 3, column=(i % 3) * 2, sticky="e")
@@ -177,8 +253,18 @@ def launch() -> int:
     pb_vid = ttk.Progressbar(frm_run, maximum=100)
     pb_vid.pack(fill="x", pady=2)
 
-    log_text = tk.Text(root, height=12, state="disabled")
-    log_text.pack(fill="both", expand=True, padx=8, pady=4)
+    frm_log = ttk.LabelFrame(root, text=STRINGS["live_log"])
+    frm_log.pack(fill="both", expand=True, padx=8, pady=4)
+    log_text = tk.Text(frm_log, height=12, state="disabled")
+    log_text.pack(fill="both", expand=True, padx=4, pady=2)
+
+    def clear_log():
+        log_text.configure(state="normal")
+        log_text.delete("1.0", "end")
+        log_text.configure(state="disabled")
+
+    ttk.Button(frm_log, text=STRINGS["clear_log"], command=clear_log).pack(
+        anchor="e", padx=4, pady=2)
 
     def log_line(msg):
         def _append():
@@ -193,9 +279,9 @@ def launch() -> int:
             btn_run.configure(state="normal")
             btn_cancel.configure(state="disabled")
             w = worker_box["w"]
-            msg = "Batch processing complete."
+            msg = STRINGS["batch_processing_complete"]
             if error:
-                msg += " Errors occurred — see the log."
+                msg += " " + STRINGS["processing_completed_with_errors"]
             if generated and messagebox.askyesno(
                     "Done", msg + "\nOpen the last result in the browser preview?"):
                 from .preview import write_preview
@@ -208,7 +294,8 @@ def launch() -> int:
 
     def run_batch():
         if not files:
-            messagebox.showwarning("No videos", "Add video files or a folder first.")
+            messagebox.showwarning(STRINGS["no_files_selected"],
+                                   STRINGS["no_files_warning"])
             return
         btn_run.configure(state="disabled")
         btn_cancel.configure(state="normal")
@@ -229,9 +316,10 @@ def launch() -> int:
 
     btns = ttk.Frame(root)
     btns.pack(pady=4)
-    btn_run = ttk.Button(btns, text="Run", command=run_batch)
+    btn_run = ttk.Button(btns, text=STRINGS["run"], command=run_batch)
     btn_run.pack(side="left", padx=4)
-    btn_cancel = ttk.Button(btns, text="Cancel", command=cancel_batch, state="disabled")
+    btn_cancel = ttk.Button(btns, text=STRINGS["cancel"], command=cancel_batch,
+                            state="disabled")
     btn_cancel.pack(side="left", padx=4)
 
     apply_settings(load_config())

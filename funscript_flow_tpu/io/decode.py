@@ -76,24 +76,30 @@ def probe(path: str) -> VideoMeta:
         cap.release()
 
 
-def preprocess_frame(bgr: np.ndarray, vr_mode: bool) -> np.ndarray:
-    """BGR decode output -> [256, 256, 3] uint8 RGB analysis frame.
+def preprocess_frame(bgr: np.ndarray, vr_mode: bool, gray: bool = False) -> np.ndarray:
+    """BGR decode output -> [256, 256, 3] uint8 RGB (or [256, 256] gray)
+    analysis frame.
 
     Non-VR: resize to 256x256 (reference decodes straight to 256, :1057).
     VR: resize to 512x512 then crop the bottom-left quadrant — the bottom
     half of the left eye of an SBS equirect (reference :1076-1079).
+
+    ``gray=True`` is the production path: the device program only consumes
+    grayscale, and cv2's BGR2GRAY here is bit-identical to the on-device
+    rgb_to_gray_cv (same BT.601 fixed-point arithmetic — tested), so doing
+    it host-side cuts H2D traffic 3x.
     """
     if vr_mode:
         r = cv2.resize(bgr, (VR_DECODE_SIZE, VR_DECODE_SIZE))
         r = r[VR_DECODE_SIZE // 2 :, : VR_DECODE_SIZE // 2]
     else:
         r = cv2.resize(bgr, (ANALYSIS_SIZE, ANALYSIS_SIZE))
-    return cv2.cvtColor(r, cv2.COLOR_BGR2RGB)
+    return cv2.cvtColor(r, cv2.COLOR_BGR2GRAY if gray else cv2.COLOR_BGR2RGB)
 
 
 def sampled_frames(path: str, meta: VideoMeta, vr_mode: bool = False,
                    cancel_flag=None, start_sample: int = 0,
-                   max_samples: int = -1) -> Iterator[np.ndarray]:
+                   max_samples: int = -1, gray: bool = False) -> Iterator[np.ndarray]:
     """Sequential decode of the ~30 fps sampling grid.
 
     Yields [256, 256, 3] uint8 RGB frames, one per sampled index, black frame
@@ -107,7 +113,7 @@ def sampled_frames(path: str, meta: VideoMeta, vr_mode: bool = False,
         if not cap.isOpened():
             raise IOError(f"Cannot open video: {path}")
         step = meta.step
-        black = np.zeros((ANALYSIS_SIZE, ANALYSIS_SIZE, 3), np.uint8)
+        black = np.zeros((ANALYSIS_SIZE, ANALYSIS_SIZE) + (() if gray else (3,)), np.uint8)
         emitted = 0
         n_samples = len(meta.sampled_indices) - start_sample
         if max_samples >= 0:
@@ -126,7 +132,7 @@ def sampled_frames(path: str, meta: VideoMeta, vr_mode: bool = False,
                 return
             if (pos % step) == 0:
                 ok, frame = cap.retrieve()
-                yield preprocess_frame(frame, vr_mode) if ok else black.copy()
+                yield preprocess_frame(frame, vr_mode, gray) if ok else black.copy()
                 emitted += 1
             pos += 1
     finally:
@@ -143,7 +149,8 @@ class PrefetchingFrameSource:
 
     def __init__(self, path: str, meta: VideoMeta, vr_mode: bool = False,
                  depth: int = 512, cancel_flag=None,
-                 start_sample: int = 0, max_samples: int = -1):
+                 start_sample: int = 0, max_samples: int = -1,
+                 gray: bool = False):
         self._q: Queue = Queue(maxsize=depth)
         self._done = object()
         self._cancel = cancel_flag
@@ -153,7 +160,7 @@ class PrefetchingFrameSource:
         def work():
             try:
                 for f in sampled_frames(path, meta, vr_mode, cancel_flag,
-                                        start_sample, max_samples):
+                                        start_sample, max_samples, gray):
                     # bounded put that aborts on close(): a plain blocking
                     # put could refill the queue after close()'s drain and
                     # park the thread forever (round-1 shutdown race)
@@ -220,8 +227,10 @@ class ShardedFrameSource:
     ends, matching sequential semantics).
     """
 
-    def __init__(self, factory, n_samples: int, shards: int, depth: int = 512):
+    def __init__(self, factory, n_samples: int, shards: int, depth: int = 512,
+                 gray: bool = False):
         # below ~32 samples a shard isn't worth its seek; clamp shard count
+        self._gray = gray
         shards = max(1, min(shards, max(1, n_samples // 32)))
         bounds = np.linspace(0, n_samples, shards + 1).astype(int)
         self._subs = []
@@ -247,7 +256,8 @@ class ShardedFrameSource:
             missing = self._expect[self._cur] - self._got_in_cur
             if missing > 0 and self._cur < len(self._subs) - 1:
                 if black is None:
-                    black = np.zeros((ANALYSIS_SIZE, ANALYSIS_SIZE, 3), np.uint8)
+                    shape = (ANALYSIS_SIZE, ANALYSIS_SIZE) + (() if self._gray else (3,))
+                    black = np.zeros(shape, np.uint8)
                 fill = min(missing, n - len(out))
                 out.extend(black.copy() for _ in range(fill))
                 self._got_in_cur += fill

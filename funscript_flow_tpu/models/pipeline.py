@@ -87,14 +87,19 @@ def rgb_to_gray_cv(rgb: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def flow_chunk_program(frames: jax.Array, n_pairs: jax.Array, cfg: PipelineConfig):
-    """frames [B+1, H, W, 3] uint8, n_pairs traced valid-pair count ->
-    dict(dots [B], cuts [B], centers [B,2], mean_mag [B], val_pos [B]).
+    """frames [B+1, H, W, 3] uint8 RGB or [B+1, H, W] uint8 gray, n_pairs
+    traced valid-pair count -> dict(dots [B], cuts [B], centers [B,2],
+    mean_mag [B], val_pos [B]).
 
     One fused program: gray -> batched Farnebäck flow -> divergence-argmax
     centers (or fixed bottom-center in POV mode, reference :880-882) -> cut
     flags -> +/-6 temporal center smoothing -> weighted radial projection.
+
+    Gray input is the production path (3x less H2D; the host's cv2
+    BGR2GRAY is bit-identical to rgb_to_gray_cv — tested); RGB is kept for
+    parity tests and ad-hoc use.
     """
-    gray = rgb_to_gray_cv(frames)
+    gray = frames.astype(jnp.float32) if frames.ndim == 3 else rgb_to_gray_cv(frames)
     f0, f1 = gray[:-1], gray[1:]
     if cfg.flow_algorithm == "dis":
         from .dis import DISConfig, dis_flow_planes
@@ -185,8 +190,15 @@ class StreamingFlowAnalyzer:
 
     KEYS = ("dots", "cuts", "centers", "mean_mag", "val_pos")
 
-    def __init__(self, cfg: PipelineConfig | None = None):
+    def __init__(self, cfg: PipelineConfig | None = None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — each dispatch then covers
+        ``n_devices * pair_batch`` pairs, one halo'd window per device under
+        shard_map (parallel.dp). Per-pair results are bitwise identical to
+        the single-device path because every emitted pair sees the same
+        halo'd frame window either way (batch-size invariance, tested)."""
         self.cfg = cfg or PipelineConfig()
+        self.mesh = mesh
+        self._D = 1 if mesh is None else int(mesh.devices.size)
         self.radius = CENTER_SMOOTH_RADIUS
         self._buf: list = []   # pending frames
         self._base = 0         # absolute frame index of _buf[0]
@@ -213,12 +225,31 @@ class StreamingFlowAnalyzer:
         built with a prefetch thread + Queue(1), :1139-1185).
         """
         s, r = self._s, self.radius
-        a = max(0, s - r)
-        b = e + r if n_total is None else min(n_total, e + r)
-        res = flow_chunk_program(
-            jnp.asarray(self._frames_window(a, b)), jnp.int32(b - a), self.cfg
-        )
-        self._pending.append((res, s - a, e - a))
+        if self.mesh is None:
+            a = max(0, s - r)
+            b = e + r if n_total is None else min(n_total, e + r)
+            res = flow_chunk_program(
+                jnp.asarray(self._frames_window(a, b)), jnp.int32(b - a), self.cfg
+            )
+            self._pending.append((res, [(None, s - a, e - a)]))
+        else:
+            from ..parallel.dp import analyze_windows_sharded
+
+            B = self.cfg.pair_batch
+            windows, n_valid, segs = [], [], []
+            for d in range(self._D):
+                sd = min(s + d * B, e)
+                ed = min(sd + B, e)
+                ad = max(0, sd - r)
+                bd = ed + r if n_total is None else min(n_total, ed + r)
+                windows.append(self._frames_window(ad, bd))
+                n_valid.append(bd - ad)
+                segs.append((d, sd - ad, ed - ad))
+            res = analyze_windows_sharded(
+                np.stack(windows), np.asarray(n_valid, np.int32),
+                self.cfg, self.mesh,
+            )
+            self._pending.append((res, segs))
         self._s = e
         drop = max(0, (self._s - r) - self._base)
         if drop:
@@ -228,15 +259,22 @@ class StreamingFlowAnalyzer:
     def _drain(self, keep: int) -> list:
         out = []
         while len(self._pending) > keep:
-            res, lo, hi = self._pending.pop(0)
-            out.append({k: np.asarray(res[k])[lo:hi] for k in self.KEYS})
+            res, segs = self._pending.pop(0)
+            np_res = {k: np.asarray(res[k]) for k in self.KEYS}
+            for d, lo, hi in segs:
+                if hi <= lo:
+                    continue
+                if d is None:
+                    out.append({k: np_res[k][lo:hi] for k in self.KEYS})
+                else:
+                    out.append({k: np_res[k][d, lo:hi] for k in self.KEYS})
         return out
 
     def push(self, frames) -> list:
         """Add decoded frames; returns a list of result dicts (maybe empty)."""
         self._buf.extend(frames)
         self._n_frames += len(frames)
-        B, r = self.cfg.pair_batch, self.radius
+        B, r = self.cfg.pair_batch * self._D, self.radius
         # pairs available so far: one per frame except the last
         while self._n_frames - 1 >= self._s + B + r:
             self._dispatch(self._s + B, None)
@@ -246,7 +284,7 @@ class StreamingFlowAnalyzer:
         """Video ended: emit remaining pairs with end-truncated smoothing."""
         n_total = max(self._n_frames - 1, 0)
         while self._s < n_total:
-            e = min(self._s + self.cfg.pair_batch, n_total)
+            e = min(self._s + self.cfg.pair_batch * self._D, n_total)
             self._dispatch(e, n_total)
         return self._drain(keep=0)
 

@@ -20,7 +20,30 @@ from jax.sharding import PartitionSpec as P
 from ..models.pipeline import PipelineConfig, flow_chunk_program
 from ..ops.reductions import CENTER_SMOOTH_RADIUS
 
-__all__ = ["shard_video_windows", "analyze_multichip"]
+__all__ = ["shard_video_windows", "analyze_windows_sharded", "analyze_multichip"]
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_window_program(mesh, cfg: PipelineConfig):
+    """shard_map'd fused flow program: one halo'd window per device."""
+    (axis,) = mesh.axis_names
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis)
+    )
+    def run(win, nv):
+        res = flow_chunk_program(win[0], nv[0], cfg)
+        return jax.tree.map(lambda x: x[None], res)
+
+    return run
+
+
+def analyze_windows_sharded(windows, n_valid, cfg: PipelineConfig, mesh):
+    """windows [D, F, H, W, 3] uint8, n_valid [D] -> per-device result dict
+    (leaves shaped [D, ...]), still on device."""
+    run = _sharded_window_program(mesh, cfg)
+    return run(jnp.asarray(windows), jnp.asarray(n_valid, jnp.int32))
 
 
 def shard_video_windows(frames: np.ndarray, n_devices: int, pairs_per_device: int):
@@ -57,21 +80,9 @@ def analyze_multichip(frames: np.ndarray, cfg: PipelineConfig, mesh) -> dict:
     all N-1 pairs, independent of the device count (tested on the virtual
     CPU mesh).
     """
-    (axis,) = mesh.axis_names
     D = mesh.devices.size
     windows, n_valid, lo, hi = shard_video_windows(frames, D, cfg.pair_batch)
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-    )
-    def run(win, nv):
-        res = flow_chunk_program(win[0], nv[0], cfg)
-        return jax.tree.map(lambda x: x[None], res)
-
-    res = run(jnp.asarray(windows), jnp.asarray(n_valid))
+    res = analyze_windows_sharded(windows, n_valid, cfg, mesh)
     res = jax.tree.map(np.asarray, res)
     out = {}
     for k, v in res.items():

@@ -125,36 +125,51 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func):
             return None
 
     def factory(start, count, depth):
+        # production path ships grayscale (1/3 the H2D bytes; host BGR2GRAY
+        # is bit-identical to the device conversion — tested)
         if native_rt is not None:
             return native_rt.NativeFrameSource(
                 video_path, meta, params.vr_mode, depth=depth,
                 cancel_flag=cancel_flag, start_sample=start, max_samples=count,
+                gray=True,
             )
         return iodec.PrefetchingFrameSource(
             video_path, meta, params.vr_mode, depth=depth,
             cancel_flag=cancel_flag, start_sample=start, max_samples=count,
+            gray=True,
         )
 
     n_samples = len(meta.sampled_indices)
-    if params.threads > 1:
+    # more decode shards than host cores only adds seek + contention
+    shards = min(params.threads, os.cpu_count() or 1)
+    if shards > 1:
         return iodec.ShardedFrameSource(
-            factory, n_samples, params.threads, depth=params.batch_size
+            factory, n_samples, shards, depth=params.batch_size, gray=True
         )
     return factory(0, -1, params.batch_size)
 
 
 def process_video(video_path: str, params: Params, log_func,
-                  progress_callback=None, cancel_flag=None) -> bool:
-    """Process one video into a ``.funscript``. Returns error_occurred."""
+                  progress_callback=None, cancel_flag=None,
+                  preopened=None) -> bool:
+    """Process one video into a ``.funscript``. Returns error_occurred.
+
+    ``preopened``: optional (meta, source) prepared ahead of time by
+    run_headless so video k+1's decode overlaps video k's tail (the
+    cross-video analog of the reference's chunk prefetch, :1139-1185).
+    """
     start_time = time.time()
     output_path = funscript_path(video_path)
     if os.path.exists(output_path) and not params.overwrite:
-        log_func(STRINGS["skipping_exists"].format(output_path=output_path))
+        if preopened is not None:
+            preopened[1].close()
+        log_func(STRINGS["skipping_file_exists"].format(
+            video_path=video_path, output_path=output_path))
         return False
 
     try:
         log_func(f"Processing video: {video_path}")
-        meta = iodec.probe(video_path)
+        meta = preopened[0] if preopened is not None else iodec.probe(video_path)
     except Exception as e:
         log_func(f"ERROR: Unable to open video at {video_path}: {e}")
         return True
@@ -166,6 +181,8 @@ def process_video(video_path: str, params: Params, log_func,
     )
     log_func(f"Using backend: {params.backend}")
     if n_samples < 2:
+        if preopened is not None:
+            preopened[1].close()
         log_func(STRINGS["video_too_short"].format(n=n_samples))
         return True
 
@@ -178,8 +195,18 @@ def process_video(video_path: str, params: Params, log_func,
         use_pallas=params.use_pallas,
         warp_backend=params.warp_backend,
     )
-    analyzer = StreamingFlowAnalyzer(cfg)
-    source = _make_frame_source(video_path, meta, params, cancel_flag, log_func)
+    mesh = None
+    if params.mesh and params.mesh > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(params.mesh)
+        log_func(STRINGS["mesh_devices"].format(
+            n=params.mesh, platform=mesh.devices.flat[0].platform))
+    analyzer = StreamingFlowAnalyzer(cfg, mesh=mesh)
+    if preopened is not None:
+        source = preopened[1]
+    else:
+        source = _make_frame_source(video_path, meta, params, cancel_flag, log_func)
     if source is None:
         return True
 
@@ -190,10 +217,10 @@ def process_video(video_path: str, params: Params, log_func,
         with profile_trace(params.profile_dir or None):
             while True:
                 if cancel_flag is not None and cancel_flag():
-                    log_func(STRINGS["user_cancelled"])
+                    log_func(STRINGS["cancelled_by_user"])
                     return False
                 with timers.stage("decode_wait"):
-                    batch = source.get_batch(cfg.pair_batch)
+                    batch = source.get_batch(cfg.pair_batch * max(1, params.mesh))
                 with timers.stage("device_compute"):
                     if batch:
                         results.extend(analyzer.push(batch))
@@ -256,12 +283,35 @@ def run_headless(input_path: str, params: Params, log_path: str = "run.log",
             log_func("No video files found.")
             return False
         log_func(STRINGS["found_files"].format(n=len(files)))
+
+        def prepare(path):
+            """Open video k+1's decode source while video k computes (the
+            cross-video analog of the reference's chunk prefetch)."""
+            if os.path.exists(funscript_path(path)) and not params.overwrite:
+                return None  # will be skipped; don't waste decode on it
+            try:
+                meta = iodec.probe(path)
+                src = _make_frame_source(path, meta, params, None, log_func)
+                return None if src is None else (meta, src)
+            except Exception:
+                return None  # process_video will re-probe and log the error
+
         any_error = False
-        for idx, video in enumerate(files):
-            log_func(STRINGS["processing_file"].format(current=idx + 1, total=len(files), video_path=video))
-            any_error |= process_video(
-                video, params, log_func, progress_callback=progress_callback
-            )
+        pre = None
+        try:
+            for idx, video in enumerate(files):
+                this_pre, pre = pre, None
+                if idx + 1 < len(files):
+                    pre = prepare(files[idx + 1])
+                log_func(STRINGS["processing_file"].format(
+                    current=idx + 1, total=len(files), video_path=video))
+                any_error |= process_video(
+                    video, params, log_func,
+                    progress_callback=progress_callback, preopened=this_pre,
+                )
+        finally:
+            if pre is not None:
+                pre[1].close()
         log_func(STRINGS["batch_processing_complete"])
         return any_error
     finally:

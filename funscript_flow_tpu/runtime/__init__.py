@@ -54,7 +54,8 @@ def _load():
         lib.fp_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.fp_open_range.restype = ctypes.c_void_p
         lib.fp_open_range.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong]
+                                      ctypes.c_int, ctypes.c_longlong,
+                                      ctypes.c_longlong, ctypes.c_int]
         lib.fp_meta.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
                                 ctypes.POINTER(ctypes.c_longlong),
                                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
@@ -75,13 +76,16 @@ class NativeFrameSource:
 
     def __init__(self, path: str, meta, vr_mode: bool = False,
                  depth: int = 512, cancel_flag=None,
-                 start_sample: int = 0, max_samples: int = -1):
+                 start_sample: int = 0, max_samples: int = -1,
+                 gray: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("libframe_pump.so not available (build failed)")
         self._lib = lib
+        self._shape = _FRAME_SHAPE[:2] if gray else _FRAME_SHAPE
         self._h = lib.fp_open_range(path.encode(), int(vr_mode), int(meta.step),
-                                    int(depth), int(start_sample), int(max_samples))
+                                    int(depth), int(start_sample),
+                                    int(max_samples), int(gray))
         if not self._h:
             raise IOError(f"Cannot open video: {path}")
         self._cancel_flag = cancel_flag
@@ -91,7 +95,7 @@ class NativeFrameSource:
         if self._cancel_flag is not None and self._cancel_flag():
             self._lib.fp_cancel(self._h)
             return []
-        buf = np.empty((n,) + _FRAME_SHAPE, np.uint8)
+        buf = np.empty((n,) + self._shape, np.uint8)
         got = self._lib.fp_next_batch(self._h, buf.ctypes.data_as(ctypes.c_void_p), n)
         return list(buf[:got])
 

@@ -39,6 +39,7 @@ struct FramePump {
   int src_w = 0, src_h = 0;
   int step = 1;
   bool vr_mode = false;
+  bool gray = false;            // emit 1-channel gray (production path)
   size_t queue_depth = 256;
   long long start_sample = 0;   // first sampled-grid index this pump decodes
   long long max_samples = -1;   // -1 = through end of video
@@ -51,7 +52,9 @@ struct FramePump {
   std::atomic<bool> done{false};
   std::atomic<bool> cancel{false};
 
-  static constexpr size_t kFrameBytes = kOutSize * kOutSize * 3;
+  size_t frame_bytes() const {
+    return static_cast<size_t>(kOutSize) * kOutSize * (gray ? 1 : 3);
+  }
 
   void run() {
     cv::Mat bgr, resized, cropped, rgb;
@@ -69,7 +72,7 @@ struct FramePump {
         if (ok && !bgr.empty()) {
           preprocess(bgr, buf.data());
         } else {
-          std::memset(buf.data(), 0, kFrameBytes);  // black frame on failure
+          std::memset(buf.data(), 0, frame_bytes());  // black frame on failure
         }
         push(std::move(buf));
         emitted++;
@@ -81,16 +84,19 @@ struct FramePump {
   }
 
   void preprocess(const cv::Mat& bgr, unsigned char* out) {
-    cv::Mat rgb_out(kOutSize, kOutSize, CV_8UC3, out);
+    // gray output = cv2 BGR2GRAY (BT.601 fixed point), bit-identical to the
+    // on-device rgb_to_gray_cv — the production path ships 1/3 the bytes
+    cv::Mat dst(kOutSize, kOutSize, gray ? CV_8UC1 : CV_8UC3, out);
+    const int code = gray ? cv::COLOR_BGR2GRAY : cv::COLOR_BGR2RGB;
     if (vr_mode) {
       cv::Mat r512;
       cv::resize(bgr, r512, cv::Size(kVrSize, kVrSize), 0, 0, cv::INTER_LINEAR);
       cv::Mat crop = r512(cv::Rect(0, kVrSize / 2, kVrSize / 2, kVrSize / 2));
-      cv::cvtColor(crop, rgb_out, cv::COLOR_BGR2RGB);
+      cv::cvtColor(crop, dst, code);
     } else {
       cv::Mat r256;
       cv::resize(bgr, r256, cv::Size(kOutSize, kOutSize), 0, 0, cv::INTER_LINEAR);
-      cv::cvtColor(r256, rgb_out, cv::COLOR_BGR2RGB);
+      cv::cvtColor(r256, dst, code);
     }
   }
 
@@ -101,7 +107,7 @@ struct FramePump {
       pool.pop_front();
       return b;
     }
-    return std::vector<unsigned char>(kFrameBytes);
+    return std::vector<unsigned char>(frame_bytes());
   }
 
   void push(std::vector<unsigned char> buf) {
@@ -122,7 +128,7 @@ struct FramePump {
       if (queue.empty()) break;  // done && drained
       auto buf = std::move(queue.front());
       queue.pop_front();
-      std::memcpy(out + static_cast<size_t>(n) * kFrameBytes, buf.data(), kFrameBytes);
+      std::memcpy(out + static_cast<size_t>(n) * frame_bytes(), buf.data(), frame_bytes());
       pool.push_back(std::move(buf));
       cv_push.notify_one();
       n++;
@@ -139,7 +145,7 @@ extern "C" {
 // sampled index ``start_sample`` (one frame-accurate seek, then sequential).
 // Powers host-parallel decode: N pumps over disjoint contiguous ranges.
 void* fp_open_range(const char* path, int vr_mode, int step, int queue_depth,
-                    long long start_sample, long long max_samples) {
+                    long long start_sample, long long max_samples, int gray) {
   auto* p = new FramePump();
   if (!p->cap.open(path)) {
     delete p;
@@ -154,6 +160,7 @@ void* fp_open_range(const char* path, int vr_mode, int step, int queue_depth,
   p->queue_depth = queue_depth > 0 ? static_cast<size_t>(queue_depth) : 256;
   p->start_sample = start_sample > 0 ? start_sample : 0;
   p->max_samples = max_samples;
+  p->gray = gray != 0;
   if (p->start_sample > 0) {
     p->cap.set(cv::CAP_PROP_POS_FRAMES,
                static_cast<double>(p->start_sample * p->step));
@@ -163,7 +170,7 @@ void* fp_open_range(const char* path, int vr_mode, int step, int queue_depth,
 }
 
 void* fp_open(const char* path, int vr_mode, int step, int queue_depth) {
-  return fp_open_range(path, vr_mode, step, queue_depth, 0, -1);
+  return fp_open_range(path, vr_mode, step, queue_depth, 0, -1, 0);
 }
 
 void fp_meta(void* h, double* fps, long long* total_frames, int* w, int* hgt) {

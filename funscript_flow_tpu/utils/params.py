@@ -39,6 +39,8 @@ class Params:
     use_pallas: str = "auto"         # fused Mosaic kernels: auto | on | off
     warp_backend: str = "auto"       # auto | pallas | xla (Farnebäck warp impl)
     dis_preset: str = "fast"         # ultrafast | fast | medium (DIS backend)
+    mesh: int = 0                    # shard pair windows over N devices
+                                     # (0/1 = single device; SURVEY §2.4 DP)
     profile_dir: str = ""            # jax.profiler trace dir ("" = off)
 
     def __post_init__(self):

@@ -95,3 +95,45 @@ def test_preview_html(tmp_path):
     write_funscript(str(tmp_path / "clip.funscript"), actions)
     out = write_preview(str(video))
     assert out.endswith(".preview.html") and os.path.exists(out)
+
+
+def test_strings_keys_reference_compatible():
+    """A strings.json written for the reference must apply: every key the
+    reference's table defines (FunscriptFlow.pyw:346-381) exists here under
+    the same name, and every key our runner formats is defined."""
+    s = load_strings("/nonexistent.json")
+    reference_keys = [
+        "app_title", "select_videos", "select_folder", "no_files_selected",
+        "vr_mode", "vr_mode_tooltip", "overall_progress",
+        "current_video_progress", "advanced_settings", "threads",
+        "detrend_window", "norm_window", "batch_size", "show_preview",
+        "show_advanced", "overwrite_files", "run", "cancel", "readme",
+        "config_saved", "config_load_error", "no_files_warning",
+        "cancelled_by_user", "batch_processing_complete", "funscript_saved",
+        "skipping_file_exists", "log_error", "found_files",
+        "processing_file", "processing_completed_with_errors",
+        "pov_mode_tooltip",
+    ]
+    missing = [k for k in reference_keys if k not in s]
+    assert not missing, missing
+    # placeholder contracts used by the runner
+    s["skipping_file_exists"].format(video_path="a", output_path="b")
+    s["funscript_saved"].format(output_path="b")
+    s["processing_file"].format(current=1, total=2, video_path="x")
+    s["found_files"].format(n=3)
+    s["log_error"].format(error="e")
+    s["mesh_devices"].format(n=4, platform="cpu")
+
+
+def test_expand_dropped_paths_nonrecursive_quirk(tmp_path):
+    """Dropped folders scan ONE level (reference :2511-2516), unlike the
+    recursive folder button."""
+    from funscript_flow_tpu.gui.app import expand_dropped_paths
+
+    (tmp_path / "a.mp4").touch()
+    (tmp_path / "b.txt").touch()
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "c.mkv").touch()
+    got = expand_dropped_paths([str(tmp_path), str(sub / "c.mkv"), str(tmp_path / "b.txt")])
+    assert got == [str(tmp_path / "a.mp4"), str(sub / "c.mkv")]

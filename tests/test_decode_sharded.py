@@ -95,3 +95,27 @@ def test_shard_count_clamped_for_tiny_clips(clip):
     src = iodec.ShardedFrameSource(_python_factory(clip, meta), n, 2)
     assert len(src._subs) == 2
     src.close()
+
+
+def test_gray_decode_paths_bit_identical(clip):
+    """gray=True decode (production) == cv2 gray of the RGB decode, for both
+    the Python and native sources; and the device program yields identical
+    results from gray vs RGB input."""
+    meta = iodec.probe(clip)
+    rgb = _drain(iodec.PrefetchingFrameSource(clip, meta))
+    gray = _drain(iodec.PrefetchingFrameSource(clip, meta, gray=True))
+    want = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in rgb])
+    np.testing.assert_array_equal(gray, want)
+
+    from funscript_flow_tpu import runtime as native_rt
+    if native_rt.available():
+        ngray = _drain(native_rt.NativeFrameSource(clip, meta, gray=True))
+        np.testing.assert_array_equal(ngray, want)
+
+    from funscript_flow_tpu.models.pipeline import PipelineConfig, flow_chunk_program
+    import jax.numpy as jnp
+    cfg = PipelineConfig(pair_batch=8)
+    a = flow_chunk_program(jnp.asarray(rgb[:9]), jnp.int32(8), cfg)
+    b = flow_chunk_program(jnp.asarray(gray[:9]), jnp.int32(8), cfg)
+    for k in ("dots", "cuts", "mean_mag"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

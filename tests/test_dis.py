@@ -14,6 +14,8 @@ import reference_cv as ref
 from funscript_flow_tpu.models.dis import DISConfig, dis_flow_planes
 from funscript_flow_tpu.models.pipeline import PipelineConfig, FlowAnalyzer
 
+pytestmark = pytest.mark.slow  # golden/e2e: minutes, not seconds
+
 
 def make_pair(rng, h, w, shift, sigma=4.0):
     base = cv2.GaussianBlur(rng.random((h * 2, w * 2)).astype(np.float32) * 255, (0, 0), sigma)

@@ -16,6 +16,8 @@ from funscript_flow_tpu.models.pipeline import (
     rgb_to_gray_cv,
 )
 
+pytestmark = pytest.mark.slow  # golden/e2e: minutes, not seconds
+
 
 def make_pair(rng, h, w, shift=(1.5, -0.8), sigma=3.0):
     base = cv2.GaussianBlur(rng.random((h * 2, w * 2)).astype(np.float32) * 255, (0, 0), sigma)

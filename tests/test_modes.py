@@ -11,6 +11,8 @@ from funscript_flow_tpu.models.pipeline import PipelineConfig, FlowAnalyzer
 from funscript_flow_tpu.runner import process_video
 from funscript_flow_tpu.utils.params import Params
 
+pytestmark = pytest.mark.slow  # golden/e2e: minutes, not seconds
+
 
 def write_video(path, frames_rgb, fps=30):
     h, w = frames_rgb[0].shape[:2]

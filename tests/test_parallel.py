@@ -12,9 +12,12 @@ from funscript_flow_tpu.parallel.dp import analyze_multichip
 from funscript_flow_tpu.parallel.signal_sp import signal_chain_sharded
 
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+    ),
+    pytest.mark.slow,  # golden/e2e: minutes, not seconds
+]
 
 
 def test_dp_matches_single_device():

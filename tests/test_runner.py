@@ -15,6 +15,8 @@ from funscript_flow_tpu.ops import signal_host
 from funscript_flow_tpu.runner import process_video, run_headless
 from funscript_flow_tpu.utils.params import Params
 
+pytestmark = pytest.mark.slow  # golden/e2e: minutes, not seconds
+
 
 FPS = 30
 

@@ -12,6 +12,8 @@ import pytest
 from funscript_flow_tpu.ops import signal as sj
 from funscript_flow_tpu.ops import signal_host as sh
 
+pytestmark = pytest.mark.slow  # golden/e2e: minutes, not seconds
+
 
 def pad(x, P, fill=0.0):
     out = np.full(P, fill, dtype=np.asarray(x).dtype)

@@ -13,6 +13,8 @@ from funscript_flow_tpu.runner import compute_actions
 from funscript_flow_tpu.ops import signal_host as sh
 from funscript_flow_tpu.utils.params import Params
 
+pytestmark = pytest.mark.slow  # golden/e2e: minutes, not seconds
+
 
 @pytest.mark.parametrize("push_size", [3, 7, 40])
 def test_streaming_equals_batch(push_size):

@@ -15,6 +15,8 @@ from funscript_flow_tpu.utils.backends import get_available_backends, get_device
 from funscript_flow_tpu.utils.params import Params
 from funscript_flow_tpu.worker import BatchWorker
 
+pytestmark = pytest.mark.slow  # golden/e2e: minutes, not seconds
+
 
 def write_video(path, frames_rgb, fps=30):
     import cv2

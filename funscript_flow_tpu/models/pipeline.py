@@ -173,9 +173,10 @@ class FlowAnalyzer:
                     [window, np.repeat(window[-1:], pad, axis=0)], axis=0
                 )
             res = flow_chunk_program(jnp.asarray(window), jnp.int32(n_valid), self.cfg)
+            res = jax.device_get({k: res[k] for k in out})
             lo, hi = s - a, e - a
             for k in out:
-                out[k].append(np.asarray(res[k])[lo:hi])
+                out[k].append(res[k][lo:hi])
         return {k: np.concatenate(v, axis=0) for k, v in out.items()}
 
 
@@ -206,15 +207,25 @@ class StreamingFlowAnalyzer:
         self._n_frames = 0
         self._pending: list = []  # dispatched-but-unmaterialized device results
 
-    def _frames_window(self, a: int, b: int) -> np.ndarray:
+    def _frames_window(self, a: int, b: int, batch: int | None = None) -> np.ndarray:
         """Frames [a, b] (absolute), padded to the static program shape."""
         i0, i1 = a - self._base, b - self._base + 1
         window = np.stack(self._buf[i0:i1])
-        need = self.cfg.pair_batch + 2 * self.radius + 1
+        need = (batch or self.cfg.pair_batch) + 2 * self.radius + 1
         if window.shape[0] < need:
             pad = np.repeat(window[-1:], need - window.shape[0], axis=0)
             window = np.concatenate([window, pad], axis=0)
         return window
+
+    def _tail_bucket(self, n_pairs: int) -> int:
+        """Smallest power-of-two fraction of pair_batch (>= 32) covering the
+        tail — a short last window then doesn't pay a full batch of padded
+        compute. Results are bucket-size invariant (the windows carry the
+        same frames and valid count; tested batch-size invariance)."""
+        b = self.cfg.pair_batch
+        while b // 2 >= max(n_pairs, 32):
+            b //= 2
+        return b
 
     def _dispatch(self, e: int, n_total: int | None) -> None:
         """Enqueue one device program call; results stay on device.
@@ -228,8 +239,10 @@ class StreamingFlowAnalyzer:
         if self.mesh is None:
             a = max(0, s - r)
             b = e + r if n_total is None else min(n_total, e + r)
+            bucket = self._tail_bucket(e - s)
             res = flow_chunk_program(
-                jnp.asarray(self._frames_window(a, b)), jnp.int32(b - a), self.cfg
+                jnp.asarray(self._frames_window(a, b, bucket)),
+                jnp.int32(b - a), self.cfg,
             )
             self._pending.append((res, [(None, s - a, e - a)]))
         else:
@@ -260,7 +273,10 @@ class StreamingFlowAnalyzer:
         out = []
         while len(self._pending) > keep:
             res, segs = self._pending.pop(0)
-            np_res = {k: np.asarray(res[k]) for k in self.KEYS}
+            # one device_get for the whole dict: per-key np.asarray costs a
+            # separate D2H round trip each (~140 ms/batch over the relay vs
+            # ~40 ms batched — measured)
+            np_res = jax.device_get({k: res[k] for k in self.KEYS})
             for d, lo, hi in segs:
                 if hi <= lo:
                     continue

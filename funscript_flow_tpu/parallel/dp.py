@@ -83,7 +83,7 @@ def analyze_multichip(frames: np.ndarray, cfg: PipelineConfig, mesh) -> dict:
     D = mesh.devices.size
     windows, n_valid, lo, hi = shard_video_windows(frames, D, cfg.pair_batch)
     res = analyze_windows_sharded(windows, n_valid, cfg, mesh)
-    res = jax.tree.map(np.asarray, res)
+    res = jax.device_get(res)
     out = {}
     for k, v in res.items():
         out[k] = np.concatenate([v[d, lo[d] : hi[d]] for d in range(D)], axis=0)

@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="Farnebäck warp implementation (auto = Mosaic band-warp "
                         "kernel on TPU, XLA gather elsewhere)")
+    p.add_argument("--decode_quality", choices=["fast", "exact"],
+                   default="fast",
+                   help="fast = libav lowres+luma-only decode (numerically "
+                        "faithful, ~2x decode throughput); exact = "
+                        "cv2-bit-identical decode")
     p.add_argument("--profile_dir", default="",
                    help="Write a jax.profiler trace of the analysis loop here")
     p.add_argument("--log", default="run.log", help="Log file path")
@@ -97,6 +102,7 @@ def main(argv=None) -> int:
         warp_backend=args.warp_backend,
         dis_preset=args.dis_preset,
         mesh=args.mesh,
+        decode_quality=args.decode_quality,
         profile_dir=args.profile_dir,
     )
     any_error = run_headless(args.input, params, log_path=args.log)

@@ -131,7 +131,7 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func):
             return native_rt.NativeFrameSource(
                 video_path, meta, params.vr_mode, depth=depth,
                 cancel_flag=cancel_flag, start_sample=start, max_samples=count,
-                gray=True,
+                gray=True, fast=(params.decode_quality == "fast"),
             )
         return iodec.PrefetchingFrameSource(
             video_path, meta, params.vr_mode, depth=depth,

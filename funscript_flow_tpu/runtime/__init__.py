@@ -56,6 +56,12 @@ def _load():
         lib.fp_open_range.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_longlong,
                                       ctypes.c_longlong, ctypes.c_int]
+        lib.fp_open_v2.restype = ctypes.c_void_p
+        lib.fp_open_v2.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_longlong,
+                                   ctypes.c_longlong, ctypes.c_int, ctypes.c_int]
+        lib.fp_is_fast.restype = ctypes.c_int
+        lib.fp_is_fast.argtypes = [ctypes.c_void_p]
         lib.fp_meta.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
                                 ctypes.POINTER(ctypes.c_longlong),
                                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
@@ -77,19 +83,28 @@ class NativeFrameSource:
     def __init__(self, path: str, meta, vr_mode: bool = False,
                  depth: int = 512, cancel_flag=None,
                  start_sample: int = 0, max_samples: int = -1,
-                 gray: bool = False):
+                 gray: bool = False, fast: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("libframe_pump.so not available (build failed)")
         self._lib = lib
         self._shape = _FRAME_SHAPE[:2] if gray else _FRAME_SHAPE
-        self._h = lib.fp_open_range(path.encode(), int(vr_mode), int(meta.step),
-                                    int(depth), int(start_sample),
-                                    int(max_samples), int(gray))
+        # ``fast`` selects the libav lowres+gray-only engine (gray output
+        # only); best-effort — the pump falls back to the exact OpenCV
+        # engine when the codec rejects it (check ``is_fast``).
+        self._h = lib.fp_open_v2(path.encode(), int(vr_mode), int(meta.step),
+                                 int(depth), int(start_sample),
+                                 int(max_samples), int(gray),
+                                 int(fast and gray))
         if not self._h:
             raise IOError(f"Cannot open video: {path}")
         self._cancel_flag = cancel_flag
         self._closed = False
+
+    @property
+    def is_fast(self) -> bool:
+        """True when the pump actually runs the libav fast engine."""
+        return bool(self._lib.fp_is_fast(self._h))
 
     def get_batch(self, n: int) -> list:
         if self._cancel_flag is not None and self._cancel_flag():

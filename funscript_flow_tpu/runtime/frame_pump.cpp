@@ -1,25 +1,50 @@
 // frame_pump — native host-side video decode + preprocess runtime.
 //
-// The TPU pipeline's host boundary is "fixed-size uint8 RGB frame batches"
+// The TPU pipeline's host boundary is "fixed-size uint8 frame batches"
 // (funscript_flow_tpu.io.decode). The pure-Python source pays GIL + per-frame
-// Python overhead; this C++ runtime runs the whole decode->resize->crop->RGB
-// chain on native threads (OpenCV C++, same codecs the reference used through
-// cv2 bindings: FunscriptFlow.pyw:103-291) and hands Python finished batches.
+// Python overhead; this C++ runtime runs the whole decode->resize->crop->gray
+// chain on native threads and hands Python finished batches.
+//
+// Two decode engines behind one pump interface:
+//
+//  * EXACT (OpenCV VideoCapture, same codecs the reference used through cv2
+//    bindings: FunscriptFlow.pyw:103-291): full-resolution decode, cv2
+//    INTER_LINEAR resize, BGR2GRAY — bit-identical to the Python path.
+//  * FAST (libav direct): the analysis plane is only 256x256 gray, so the
+//    decoder is told as much — AV_CODEC_FLAG_GRAY skips chroma entirely and
+//    `lowres` decodes mpegvideo-family codecs at 1/2^k resolution straight
+//    out of the IDCT (largest k that still covers the analysis resolution).
+//    The luma plane goes through one swscale bilinear pass to 256x256 and a
+//    256-entry LUT that applies the same limited->full range expansion cv2's
+//    YUV->BGR->GRAY chain performs ((y-16)*255/219 for MPEG-range streams).
+//    Numerics are validated against the exact path at the frame level and at
+//    the funscript level (tests/test_native_runtime.py); codecs that reject
+//    any of it fall back to the exact engine automatically.
 //
 // Architecture: one decoder thread per pump does a single sequential pass
-// (grab() skips unsampled frames; no POS_FRAMES seeking, unlike the
-// reference's seek-per-frame pool, :177-178), preprocesses into pooled frame
-// buffers, and feeds a bounded queue. fp_next_batch() memcpy's up to N frames
-// into the caller's pinned numpy buffer. Failure semantics match the Python
-// path: short container -> clean EOF; failed retrieve -> black frame.
+// (no POS_FRAMES seeking per frame, unlike the reference's seek-per-frame
+// pool, :177-178), preprocesses into pooled frame buffers, and feeds a
+// bounded queue. fp_next_batch() memcpy's up to N frames into the caller's
+// pinned numpy buffer. Failure semantics match the Python path: short
+// container -> clean EOF; failed retrieve -> black frame.
 //
-// C ABI (ctypes): fp_open / fp_meta / fp_next_batch / fp_cancel / fp_close.
+// C ABI (ctypes): fp_open / fp_open_range / fp_open_v2 / fp_meta /
+// fp_next_batch / fp_cancel / fp_close.
 
 #include <opencv2/core.hpp>
 #include <opencv2/imgproc.hpp>
 #include <opencv2/videoio.hpp>
 
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstring>
 #include <deque>
@@ -32,8 +57,180 @@ namespace {
 constexpr int kOutSize = 256;   // analysis resolution (SURVEY.md §6)
 constexpr int kVrSize = 512;    // VR: resize 512, crop bottom-left quadrant
 
+// ---------------------------------------------------------------------------
+// FAST engine: libav decode tuned for "256x256 gray is all we need".
+// ---------------------------------------------------------------------------
+struct LavDecoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* ctx = nullptr;
+  const AVCodec* codec = nullptr;
+  SwsContext* sws = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frm = nullptr;
+  int vs = -1;
+  AVRational tb{1, 1};
+  double fps = 0.0;
+  long long total_frames = 0;
+  int src_w = 0, src_h = 0;
+  int64_t stream_start = 0;
+  long long frame_idx = -1;   // presentation index of the last decoded frame
+  bool draining = false;
+  unsigned char lut[256];
+  bool use_lut = false;
+  int sws_src_w = 0, sws_src_h = 0, sws_src_off_y = 0;
+
+  ~LavDecoder() { close(); }
+
+  void close() {
+    if (sws) { sws_freeContext(sws); sws = nullptr; }
+    if (frm) av_frame_free(&frm);
+    if (pkt) av_packet_free(&pkt);
+    if (ctx) avcodec_free_context(&ctx);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  bool open(const char* path, bool vr_mode) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return false;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) return false;
+    vs = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (vs < 0) return false;
+    AVStream* st = fmt->streams[vs];
+    codec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!codec) return false;
+    ctx = avcodec_alloc_context3(codec);
+    if (!ctx || avcodec_parameters_to_context(ctx, st->codecpar) < 0) return false;
+
+    src_w = st->codecpar->width;
+    src_h = st->codecpar->height;
+    if (src_w <= 0 || src_h <= 0) return false;
+
+    // Largest lowres level that still covers the analysis plane: the decoded
+    // frame (VR: its bottom-left quadrant) must stay >= 256 per side.
+    const int min_side = vr_mode ? 2 * kOutSize : kOutSize;
+    int k = 0;
+    while (k < codec->max_lowres &&
+           (src_w >> (k + 1)) >= min_side && (src_h >> (k + 1)) >= min_side) {
+      k++;
+    }
+    ctx->lowres = k;
+    ctx->flags |= AV_CODEC_FLAG_GRAY;           // skip chroma decode
+    ctx->flags2 |= AV_CODEC_FLAG2_FAST;
+    ctx->skip_loop_filter = AVDISCARD_ALL;      // fast mode trades exactness
+    unsigned hc = std::thread::hardware_concurrency();
+    ctx->thread_count = static_cast<int>(std::min(4u, hc ? hc : 1u));
+    if (avcodec_open2(ctx, codec, nullptr) < 0) return false;
+
+    tb = st->time_base;
+    stream_start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+    AVRational fr = st->avg_frame_rate;
+    if (fr.num <= 0 || fr.den <= 0) fr = av_guess_frame_rate(fmt, st, nullptr);
+    fps = (fr.num > 0 && fr.den > 0) ? av_q2d(fr) : 0.0;
+    total_frames = st->nb_frames;
+    if (total_frames <= 0 && fps > 0 && fmt->duration > 0) {
+      total_frames = static_cast<long long>(
+          std::llround(fmt->duration / (double)AV_TIME_BASE * fps));
+    }
+    if (fps <= 0.0 || total_frames <= 0) return false;
+
+    // cv2's YUV->BGR applies MPEG(limited)->full range; replicate on luma.
+    const AVColorRange cr = st->codecpar->color_range;
+    use_lut = (cr != AVCOL_RANGE_JPEG);
+    for (int i = 0; i < 256; i++) {
+      double v = use_lut ? (i - 16.0) * 255.0 / 219.0 : (double)i;
+      lut[i] = static_cast<unsigned char>(std::min(255.0, std::max(0.0, std::round(v))));
+    }
+    pkt = av_packet_alloc();
+    frm = av_frame_alloc();
+    return pkt && frm;
+  }
+
+  // Frame-accurate positioning: keyframe seek, then decode-skip. Sets
+  // frame_idx so the next next_frame() yields presentation index >= target
+  // (callers keep skipping until the index matches their sampling grid).
+  bool seek_to(long long target) {
+    if (target <= 0) return true;
+    const int64_t ts =
+        stream_start + av_rescale(target, tb.den, (int64_t)std::llround(fps * tb.num));
+    if (av_seek_frame(fmt, vs, ts, AVSEEK_FLAG_BACKWARD) < 0) return false;
+    avcodec_flush_buffers(ctx);
+    draining = false;
+    frame_idx = -1;  // re-derived from the first decoded frame's pts
+    return true;
+  }
+
+  // Decodes the next frame in presentation order into frm; returns false at
+  // EOF. Updates frame_idx (pts-derived after a seek, else incremented).
+  bool next_frame() {
+    while (true) {
+      int r = avcodec_receive_frame(ctx, frm);
+      if (r == 0) {
+        int64_t ts = frm->best_effort_timestamp;
+        if (frame_idx < 0 && ts != AV_NOPTS_VALUE) {
+          frame_idx = std::llround((ts - stream_start) * av_q2d(tb) * fps);
+        } else {
+          frame_idx++;
+        }
+        return true;
+      }
+      if (r == AVERROR_EOF) return false;
+      if (r != AVERROR(EAGAIN)) return false;
+      if (draining) return false;
+      // feed one more packet
+      while (true) {
+        int pr = av_read_frame(fmt, pkt);
+        if (pr < 0) {
+          draining = true;
+          avcodec_send_packet(ctx, nullptr);
+          break;
+        }
+        if (pkt->stream_index == vs) {
+          int sr = avcodec_send_packet(ctx, pkt);
+          av_packet_unref(pkt);
+          if (sr < 0 && sr != AVERROR(EAGAIN)) return false;
+          break;
+        }
+        av_packet_unref(pkt);
+      }
+    }
+  }
+
+  // Luma plane (VR: bottom-left quadrant) -> 256x256 gray with cv2-range LUT.
+  bool to_gray(unsigned char* out, bool vr_mode) {
+    const int w = frm->width, h = frm->height;
+    int cw = w, ch = h, off = 0;
+    if (vr_mode) {
+      cw = w / 2;
+      ch = h - h / 2;
+      off = (h / 2) * frm->linesize[0];
+    }
+    if (!sws || cw != sws_src_w || ch != sws_src_h) {
+      if (sws) sws_freeContext(sws);
+      sws = sws_getContext(cw, ch, AV_PIX_FMT_GRAY8, kOutSize, kOutSize,
+                           AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr, nullptr, nullptr);
+      sws_src_w = cw;
+      sws_src_h = ch;
+    }
+    if (!sws) return false;
+    const uint8_t* src_data[4] = {frm->data[0] + off, nullptr, nullptr, nullptr};
+    int src_ls[4] = {frm->linesize[0], 0, 0, 0};
+    uint8_t* dst_data[4] = {out, nullptr, nullptr, nullptr};
+    int dst_ls[4] = {kOutSize, 0, 0, 0};
+    sws_scale(sws, src_data, src_ls, 0, ch, dst_data, dst_ls);
+    for (int i = 0; i < kOutSize * kOutSize; i++) out[i] = lut[out[i]];
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Pump: one decoder thread (either engine), pooled buffers, bounded queue.
+// ---------------------------------------------------------------------------
 struct FramePump {
+  // EXACT engine
   cv::VideoCapture cap;
+  // FAST engine
+  LavDecoder lav;
+  bool fast = false;
+
   double fps = 0.0;
   long long total_frames = 0;
   int src_w = 0, src_h = 0;
@@ -57,12 +254,19 @@ struct FramePump {
   }
 
   void run() {
-    cv::Mat bgr, resized, cropped, rgb;
+    if (fast) {
+      run_fast();
+    } else {
+      run_exact();
+    }
+    done.store(true);
+    cv_pop.notify_all();
+  }
+
+  void run_exact() {
+    cv::Mat bgr;
     long long pos = start_sample * step;
-    long long n_total = (total_frames + step - 1) / step;
-    long long n_samples = n_total - start_sample;
-    if (max_samples >= 0 && max_samples < n_samples) n_samples = max_samples;
-    if (n_samples < 0) n_samples = 0;
+    long long n_samples = sample_budget();
     long long emitted = 0;
     while (!cancel.load() && emitted < n_samples) {
       if (!cap.grab()) break;  // container shorter than advertised: clean EOF
@@ -79,8 +283,30 @@ struct FramePump {
       }
       pos++;
     }
-    done.store(true);
-    cv_pop.notify_all();
+  }
+
+  void run_fast() {
+    const long long first = start_sample * step;
+    long long n_samples = sample_budget();
+    long long emitted = 0;
+    while (!cancel.load() && emitted < n_samples) {
+      if (!lav.next_frame()) break;  // clean EOF
+      const long long idx = lav.frame_idx;
+      if (idx < first || (idx % step) != 0) continue;  // seek pre-roll / unsampled
+      std::vector<unsigned char> buf = take_buffer();
+      if (!lav.to_gray(buf.data(), vr_mode)) {
+        std::memset(buf.data(), 0, frame_bytes());  // black frame on failure
+      }
+      push(std::move(buf));
+      emitted++;
+    }
+  }
+
+  long long sample_budget() const {
+    long long n_total = (total_frames + step - 1) / step;
+    long long n = n_total - start_sample;
+    if (max_samples >= 0 && max_samples < n) n = max_samples;
+    return n < 0 ? 0 : n;
   }
 
   void preprocess(const cv::Mat& bgr, unsigned char* out) {
@@ -141,12 +367,35 @@ struct FramePump {
 
 extern "C" {
 
-// Range variant: decode ``max_samples`` sampled-grid frames starting at
-// sampled index ``start_sample`` (one frame-accurate seek, then sequential).
-// Powers host-parallel decode: N pumps over disjoint contiguous ranges.
-void* fp_open_range(const char* path, int vr_mode, int step, int queue_depth,
-                    long long start_sample, long long max_samples, int gray) {
+// v2: ``fast`` selects the libav fast engine (lowres + gray-only decode) —
+// best-effort: falls back to the exact OpenCV engine when the codec or
+// container rejects it. Fast mode implies gray output.
+void* fp_open_v2(const char* path, int vr_mode, int step, int queue_depth,
+                 long long start_sample, long long max_samples, int gray,
+                 int fast) {
   auto* p = new FramePump();
+  p->step = step > 0 ? step : 1;
+  p->vr_mode = vr_mode != 0;
+  p->queue_depth = queue_depth > 0 ? static_cast<size_t>(queue_depth) : 256;
+  p->start_sample = start_sample > 0 ? start_sample : 0;
+  p->max_samples = max_samples;
+  p->gray = gray != 0;
+
+  if (fast && p->gray) {
+    av_log_set_level(AV_LOG_ERROR);
+    if (p->lav.open(path, p->vr_mode) &&
+        (p->start_sample == 0 || p->lav.seek_to(p->start_sample * p->step))) {
+      p->fast = true;
+      p->fps = p->lav.fps;
+      p->total_frames = p->lav.total_frames;
+      p->src_w = p->lav.src_w;
+      p->src_h = p->lav.src_h;
+      p->worker = std::thread([p] { p->run(); });
+      return p;
+    }
+    p->lav.close();  // fall back to the exact engine
+  }
+
   if (!p->cap.open(path)) {
     delete p;
     return nullptr;
@@ -155,12 +404,6 @@ void* fp_open_range(const char* path, int vr_mode, int step, int queue_depth,
   p->total_frames = static_cast<long long>(p->cap.get(cv::CAP_PROP_FRAME_COUNT));
   p->src_w = static_cast<int>(p->cap.get(cv::CAP_PROP_FRAME_WIDTH));
   p->src_h = static_cast<int>(p->cap.get(cv::CAP_PROP_FRAME_HEIGHT));
-  p->step = step > 0 ? step : 1;
-  p->vr_mode = vr_mode != 0;
-  p->queue_depth = queue_depth > 0 ? static_cast<size_t>(queue_depth) : 256;
-  p->start_sample = start_sample > 0 ? start_sample : 0;
-  p->max_samples = max_samples;
-  p->gray = gray != 0;
   if (p->start_sample > 0) {
     p->cap.set(cv::CAP_PROP_POS_FRAMES,
                static_cast<double>(p->start_sample * p->step));
@@ -169,8 +412,22 @@ void* fp_open_range(const char* path, int vr_mode, int step, int queue_depth,
   return p;
 }
 
+// Range variant: decode ``max_samples`` sampled-grid frames starting at
+// sampled index ``start_sample`` (one frame-accurate seek, then sequential).
+// Powers host-parallel decode: N pumps over disjoint contiguous ranges.
+void* fp_open_range(const char* path, int vr_mode, int step, int queue_depth,
+                    long long start_sample, long long max_samples, int gray) {
+  return fp_open_v2(path, vr_mode, step, queue_depth, start_sample,
+                    max_samples, gray, 0);
+}
+
 void* fp_open(const char* path, int vr_mode, int step, int queue_depth) {
-  return fp_open_range(path, vr_mode, step, queue_depth, 0, -1, 0);
+  return fp_open_v2(path, vr_mode, step, queue_depth, 0, -1, 0, 0);
+}
+
+// Reports which engine a pump actually runs (1 = fast/libav, 0 = exact).
+int fp_is_fast(void* h) {
+  return static_cast<FramePump*>(h)->fast ? 1 : 0;
 }
 
 void fp_meta(void* h, double* fps, long long* total_frames, int* w, int* hgt) {

@@ -36,6 +36,11 @@ class Params:
     signal_backend: str = "auto"     # auto | host | device
     pair_batch: int = 240            # device micro-batch of frame pairs
     use_native_decode: str = "auto"  # auto | on | off (C++ frame_pump runtime)
+    decode_quality: str = "fast"     # fast | exact — fast uses the libav
+                                     # lowres+luma-only engine (numerically
+                                     # faithful, not bit-identical to cv2;
+                                     # validated at the funscript level),
+                                     # exact is the cv2-bit-identical path
     use_pallas: str = "auto"         # fused Mosaic kernels: auto | on | off
     warp_backend: str = "auto"       # auto | pallas | xla (Farnebäck warp impl)
     dis_preset: str = "fast"         # ultrafast | fast | medium (DIS backend)
@@ -58,6 +63,8 @@ class Params:
             raise ValueError(f"Unknown use_pallas: {self.use_pallas}")
         if self.dis_preset not in ("ultrafast", "fast", "medium"):
             raise ValueError(f"Unknown dis_preset: {self.dis_preset}")
+        if self.decode_quality not in ("fast", "exact"):
+            raise ValueError(f"Unknown decode_quality: {self.decode_quality}")
 
     @classmethod
     def from_dict(cls, d: dict) -> "Params":

@@ -57,6 +57,70 @@ def test_native_bad_file(tmp_path):
         native_rt.NativeFrameSource(str(bad), meta)
 
 
+def collect_np(source):
+    out = []
+    while True:
+        batch = source.get_batch(16)
+        if not batch:
+            break
+        out.extend(batch)
+    source.close()
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("vr", [False, True])
+def test_fast_engine_close_to_exact(clip, vr):
+    """The libav fast engine (lowres + luma-only + range LUT) is numerically
+    faithful to the exact cv2 path: same frame count/alignment, small pixel
+    deltas (the residual is swscale's fixed-point YUV->RGB approximation vs
+    the analytic limited->full expansion — see frame_pump.cpp)."""
+    meta = iodec.probe(clip)
+    ex_src = native_rt.NativeFrameSource(clip, meta, vr_mode=vr, gray=True)
+    fa_src = native_rt.NativeFrameSource(clip, meta, vr_mode=vr, gray=True,
+                                         fast=True)
+    assert not ex_src.is_fast
+    assert fa_src.is_fast  # mp4v supports gray-only decode
+    ex = collect_np(ex_src)
+    fa = collect_np(fa_src)
+    assert ex.shape == fa.shape
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 4.0
+    assert np.abs(d).max() <= 16
+
+
+def test_fast_engine_range_decode_bitwise(clip):
+    """start_sample/max_samples on the fast engine (keyframe seek + pre-roll
+    skip) yields exactly the frames of the corresponding full-read slice —
+    the invariant host-parallel sharded decode relies on."""
+    meta = iodec.probe(clip)
+    full = collect_np(native_rt.NativeFrameSource(clip, meta, gray=True,
+                                                  fast=True))
+    part = collect_np(native_rt.NativeFrameSource(clip, meta, gray=True,
+                                                  fast=True, start_sample=7,
+                                                  max_samples=9))
+    np.testing.assert_array_equal(part, full[7:16])
+
+
+def test_fast_requires_gray():
+    """fast=True with gray=False silently uses the exact engine (fast mode
+    only produces the 1-channel analysis plane)."""
+    import cv2
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    frames = ref.make_synthetic_frames(6, h=64, w=64, period=3, seed=1)
+    p = os.path.join(d, "c.mp4")
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+    meta = iodec.probe(p)
+    src = native_rt.NativeFrameSource(p, meta, gray=False, fast=True)
+    assert not src.is_fast
+    assert src.get_batch(1)[0].shape == (256, 256, 3)
+    src.close()
+
+
 def test_native_cancel(clip):
     meta = iodec.probe(clip)
     flag = {"c": False}

@@ -58,7 +58,11 @@ def reference_funscript(video_path, params: Params):
 
 
 def test_process_video_end_to_end(clip):
-    params = Params(overwrite=True, signal_backend="host", pair_batch=24)
+    # decode_quality="exact": this test checks bit-level parity against the
+    # python-decode oracle; the production "fast" decode is numerically
+    # faithful but not bit-identical (covered by test_fast_decode_funscript)
+    params = Params(overwrite=True, signal_backend="host", pair_batch=24,
+                    decode_quality="exact")
     logs = []
     err = process_video(clip, params, logs.append)
     assert not err, logs
@@ -76,7 +80,8 @@ def test_process_video_end_to_end(clip):
 
 
 def test_process_video_device_signal_close_to_host(clip):
-    params = Params(overwrite=True, signal_backend="device", pair_batch=24)
+    params = Params(overwrite=True, signal_backend="device", pair_batch=24,
+                    decode_quality="exact")
     err = process_video(clip, params, lambda m: None)
     assert not err
     got = load_funscript(clip.replace(".mp4", ".funscript"))["actions"]
@@ -85,6 +90,33 @@ def test_process_video_device_signal_close_to_host(clip):
     assert [a["at"] for a in got] == [a["at"] for a in want]
     dpos = np.abs(np.array([a["pos"] for a in got]) - np.array([a["pos"] for a in want]))
     assert dpos.max() <= 3
+
+
+def test_fast_decode_funscript_agreement(clip):
+    """The production fast decode (libav lowres + luma-only) must land the
+    same funscript as the exact cv2 decode to within the north-star
+    tolerance: every exact keyframe has a fast counterpart within one
+    sampling step and +/-3 position units."""
+    from funscript_flow_tpu import runtime as native_rt
+
+    if not native_rt.available():
+        pytest.skip("libframe_pump.so not built")
+    acts = {}
+    for q in ("exact", "fast"):
+        params = Params(overwrite=True, signal_backend="host", pair_batch=24,
+                        decode_quality=q, use_native_decode="on")
+        err = process_video(clip, params, lambda m: None)
+        assert not err
+        acts[q] = load_funscript(clip.replace(".mp4", ".funscript"))["actions"]
+
+    meta = iodec.probe(clip)
+    step_ms = 1000.0 * meta.step / meta.fps
+    fast_at = np.array([a["at"] for a in acts["fast"]])
+    fast_pos = np.array([a["pos"] for a in acts["fast"]])
+    for a in acts["exact"]:
+        i = int(np.abs(fast_at - a["at"]).argmin())
+        assert abs(fast_at[i] - a["at"]) <= step_ms + 1, (a, acts["fast"][i])
+        assert abs(int(fast_pos[i]) - a["pos"]) <= 3, (a, acts["fast"][i])
 
 
 def test_skip_existing_without_overwrite(clip, tmp_path):

@@ -97,12 +97,18 @@ def main() -> None:
 
     params = Params(overwrite=True)
 
-    # Warm up compilation for the production micro-batch shape.
+    # Warm up compilation for the production shapes: the gray full window
+    # and the 128-pair tail bucket the 20 s clip ends with (the production
+    # path ships grayscale; warming RGB would compile a program the run
+    # never uses).
     import jax.numpy as jnp
 
     cfg = PipelineConfig(pair_batch=params.pair_batch)
-    warm_frames = np.zeros((params.pair_batch + 13, 256, 256, 3), np.uint8)
-    flow_chunk_program(jnp.asarray(warm_frames), jnp.int32(4), cfg)["dots"].block_until_ready()
+    for bucket in (params.pair_batch, 128):
+        warm_frames = np.zeros((bucket + 13, 256, 256), np.uint8)
+        flow_chunk_program(
+            jnp.asarray(warm_frames), jnp.int32(4), cfg
+        )["dots"].block_until_ready()
 
     # --- scenario 1: single 20 s 1080p30 clip, best of 3 (shared-pool noise) ---
     walls, splits = [], []

@@ -28,7 +28,8 @@ import numpy as np
 
 from .io import decode as iodec
 from .io.funscript import funscript_path, write_funscript
-from .models.pipeline import PipelineConfig, StreamingFlowAnalyzer
+from .models.pipeline import (PipelineConfig, StreamingFlowAnalyzer,
+                              flow_chunk_program)
 from .ops import signal_host
 from .ops.signal import DISCONTINUITY_THRESHOLD, signal_chain_device
 from .utils.logging import StageTimers, profile_trace
@@ -36,6 +37,11 @@ from .utils.params import Params
 from .utils.strings import STRINGS
 
 __all__ = ["process_video", "run_headless", "compute_actions"]
+
+
+# ~36 min of 30 fps samples: below this the exact host signal chain wins
+# (sub-second) and avoids one device compile per new bucket length
+AUTO_DEVICE_MIN_SAMPLES = 65536
 
 
 def _bucket_length(n: int, minimum: int = 256) -> int:
@@ -50,8 +56,9 @@ def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
     """Whole-video signal chain -> funscript actions.
 
     Window sizes derive from the effective fps (reference :1287, :1335).
-    ``signal_backend='auto'`` runs the chain on device except for the exact
-    cases the static-shape path doesn't cover (tiny signals, cumulative-flow
+    ``signal_backend='auto'`` runs the chain on the exact host path except
+    for very long signals (>= AUTO_DEVICE_MIN_SAMPLES) that are clean of
+    the cases the static-shape device path doesn't cover (cumulative-flow
     discontinuities — see ops.signal docstring).
     """
     n = len(dots)
@@ -60,7 +67,12 @@ def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
 
     backend = params.signal_backend
     if backend == "auto":
-        if n < 32 or detrend_win < 2:
+        # The host chain is exact (f64) and linear-time: ~5 s even for a
+        # 3.7 h video. The device chain only pays for very long signals —
+        # and each new power-of-two bucket length costs a device compile
+        # (which made short-video folder batches pay seconds per new
+        # length). Route small signals to host.
+        if n < AUTO_DEVICE_MIN_SAMPLES or detrend_win < 2:
             backend = "host"
         else:
             cum = signal_host.integrate_flow(dots, cuts)
@@ -149,6 +161,57 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func):
     return factory(0, -1, params.batch_size)
 
 
+def _planned_tail_buckets(pair_batch: int, radius: int, n_pairs: int) -> list:
+    """The window bucket sizes StreamingFlowAnalyzer will dispatch for an
+    ``n_pairs`` video (single-device path), excluding the full ``pair_batch``
+    window the main loop compiles on its own. Mirrors push()/flush()/
+    _tail_bucket exactly (tested against the analyzer)."""
+    s = 0
+    while n_pairs >= s + pair_batch + radius:
+        s += pair_batch
+    buckets = []
+    while s < n_pairs:
+        e = min(s + pair_batch, n_pairs)
+        b = pair_batch
+        while b // 2 >= max(e - s, 32):
+            b //= 2
+        if b != pair_batch and b not in buckets:
+            buckets.append(b)
+        s = e
+    return buckets
+
+
+def _prewarm_tail_async(cfg: PipelineConfig, radius: int, n_pairs: int):
+    """Start loading/compiling the tail-window executable in the background.
+
+    A fresh process pays ~30 s per executable shape even on a persistent-
+    cache hit (the device plugin reloads server-side). The tail window is
+    otherwise first touched at flush() — AFTER all decode and compute — so
+    warming it concurrently with the main loop hides that cost entirely.
+    """
+    buckets = _planned_tail_buckets(cfg.pair_batch, radius, n_pairs)
+    if not buckets:
+        return None
+
+    def work():
+        try:
+            import jax.numpy as jnp
+
+            for b in buckets:
+                frames = np.zeros((b + 2 * radius + 1, 256, 256), np.uint8)
+                flow_chunk_program(
+                    jnp.asarray(frames), jnp.int32(1), cfg
+                )["dots"].block_until_ready()
+        except Exception:
+            pass  # warmup is best-effort; the real dispatch will surface errors
+
+    import threading
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return t
+
+
 def process_video(video_path: str, params: Params, log_func,
                   progress_callback=None, cancel_flag=None,
                   preopened=None) -> bool:
@@ -203,6 +266,8 @@ def process_video(video_path: str, params: Params, log_func,
         log_func(STRINGS["mesh_devices"].format(
             n=params.mesh, platform=mesh.devices.flat[0].platform))
     analyzer = StreamingFlowAnalyzer(cfg, mesh=mesh)
+    if mesh is None:
+        _prewarm_tail_async(cfg, analyzer.radius, n_samples - 1)
     if preopened is not None:
         source = preopened[1]
     else:

@@ -51,18 +51,20 @@ def test_compute_actions_routes_discontinuity_to_host(rng):
     assert a_auto == a_host
 
 
-def test_compute_actions_auto_uses_device_when_clean(rng):
+def test_compute_actions_auto_routes_small_to_host(rng):
+    """auto uses the exact host chain below AUTO_DEVICE_MIN_SAMPLES (the
+    device chain would pay one compile per new bucket length — folder
+    batches of short videos were spending seconds per video on that)."""
     n = 300
     dots = np.sin(np.arange(n) / 7.0) * 3
     cuts = np.zeros(n, bool)
     ts = np.arange(n)
     a_auto, norm_auto = compute_actions(dots, cuts, ts, 30.0, 30.0,
                                         Params(signal_backend="auto"))
-    # device f32 vs host f64: positions within 1
     a_host, norm_host = compute_actions(dots, cuts, ts, 30.0, 30.0,
                                         Params(signal_backend="host"))
-    np.testing.assert_allclose(norm_auto, norm_host, atol=0.5)
-    assert abs(len(a_auto) - len(a_host)) <= 2
+    np.testing.assert_allclose(norm_auto, norm_host, atol=1e-12)
+    assert a_auto == a_host
 
 
 def test_compute_actions_tiny_signal_host_path():
@@ -74,3 +76,38 @@ def test_compute_actions_tiny_signal_host_path():
     a, _ = compute_actions(dots, cuts, ts, 30.0, 30.0, Params())
     want, _ = sh.signal_chain(dots, cuts, ts, 30.0, 60, 90)
     assert a == want
+
+
+def test_planned_tail_buckets_match_analyzer(monkeypatch):
+    """_planned_tail_buckets (the async prewarm) must predict exactly the
+    non-full window shapes StreamingFlowAnalyzer dispatches, for any video
+    length — otherwise the prewarm compiles a shape the run never uses."""
+    from funscript_flow_tpu.models import pipeline as pl
+    from funscript_flow_tpu.runner import _planned_tail_buckets
+
+    r = pl.CENTER_SMOOTH_RADIUS if hasattr(pl, "CENTER_SMOOTH_RADIUS") else 6
+    B = 48
+    shapes = []
+
+    def fake_program(frames, n_pairs, cfg):
+        n = frames.shape[0] - 2 * r - 1
+        shapes.append(n)
+        return {
+            "dots": np.zeros(n + 2 * r, np.float32),
+            "cuts": np.zeros(n + 2 * r, bool),
+            "centers": np.zeros((n + 2 * r, 2), np.float32),
+            "mean_mag": np.zeros(n + 2 * r, np.float32),
+            "val_pos": np.zeros(n + 2 * r, np.float32),
+        }
+
+    monkeypatch.setattr(pl, "flow_chunk_program", fake_program)
+    cfg = pl.PipelineConfig(pair_batch=B)
+    frame = np.zeros((4, 4), np.uint8)
+    for n_pairs in list(range(1, 130, 7)) + [47, 48, 49, 95, 96, 97, 144]:
+        shapes.clear()
+        an = pl.StreamingFlowAnalyzer(cfg)
+        an.push([frame] * (n_pairs + 1))
+        an.flush()
+        got = sorted({s for s in shapes if s != B})
+        want = sorted(_planned_tail_buckets(B, an.radius, n_pairs))
+        assert got == want, (n_pairs, got, want)

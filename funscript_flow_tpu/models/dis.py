@@ -14,8 +14,10 @@ gradient descent per patch, weighted densification. Structured for TPU:
 * all patch extraction / densification is **static** strided slicing — the
   patch grid is fixed, so no gathers there;
 * the only dynamic access is sampling I1 at each patch's current offset:
-  one packed 4-corner bilinear gather over ``patches x 64`` indices per
-  descent step — ~50x fewer indices than a dense per-pixel warp;
+  all patch pixels laid out as one dense coordinate grid and fetched by a
+  single packed 4-corner bilinear gather per descent step
+  (:func:`_sample_patches_dense` — XLA:TPU gather cost scales with gathered
+  *elements*, so the dense layout beats per-patch window gathers ~20x);
 * every patch updates in parallel (we deliberately drop OpenCV's serial
   left-to-right spatial propagation, which cannot batch; quality recovered
   by starting from the upsampled coarser-level flow).
@@ -152,6 +154,77 @@ def _sample_patches(img: jax.Array, py, px, uy, ux, ps: int):
             + p10 * (1 - wx) * wy + p11 * wx * wy)
 
 
+def _sample_patches_dense(img: jax.Array, py, px, uy, ux, ps: int):
+    """Drop-in equivalent of :func:`_sample_patches` via one dense grid.
+
+    XLA:TPU gather cost scales with gathered *elements*, not indices — the
+    per-patch ``(ps+1)^2`` window gather moves ``81x`` the patch-pixel count
+    (the round-1 "fewer indices" reasoning optimized the wrong quantity).
+    Reformulation: each patch pixel ``(dy, dx)`` of patch ``(pi, pj)``
+    bilinearly samples ``img`` at ``(clip(py+uy, 0, h-ps) + dy, ...)`` —
+    lay all patch pixels out as a dense ``[ny*ps, nx*ps]`` absolute
+    coordinate grid and do ONE packed 4-corner gather over it (4 lanes per
+    pixel), then fold back to ``[B, ny, nx, ps*ps]``.
+
+    Exactness vs _sample_patches (tested): in-range coords share floor/frac;
+    at the low clamp both give row 0 weight 1; at the high clamp
+    ``y0 = h-ps-1, wy = 1`` equals sampling the integer row ``h-ps``.
+    """
+    B, h, w = img.shape
+    ny, nx = py.shape
+    fy = jnp.clip(py[None] + uy, 0.0, float(h - ps))  # effective patch corner
+    fx = jnp.clip(px[None] + ux, 0.0, float(w - ps))
+    d = jnp.arange(ps, dtype=jnp.float32)
+    # dense absolute sample coords [B, ny*ps, nx*ps]
+    fyd = (fy[:, :, None, :, None] + d[None, None, :, None, None])
+    fxd = (fx[:, :, None, :, None] + d[None, None, None, None, :])
+    fyd = jnp.broadcast_to(fyd, (B, ny, ps, nx, ps)).reshape(B, ny * ps, nx * ps)
+    fxd = jnp.broadcast_to(fxd, (B, ny, ps, nx, ps)).reshape(B, ny * ps, nx * ps)
+
+    if jax.default_backend() == "tpu":
+        # Mosaic band-warp kernel: dynamic_gather shuffles instead of the
+        # XLA gather (same kernel as the Farnebäck warp, 1 plane, absolute
+        # coords) — the dense grid is exactly the layout it wants.
+        from ..ops.pallas.warp import sample_abs_pallas
+
+        val = sample_abs_pallas(img, fyd, fxd)
+    else:
+        val = _bilinear_abs_packed(img, fyd, fxd)
+    return (val.reshape(B, ny, ps, nx, ps)
+               .transpose(0, 1, 3, 2, 4)
+               .reshape(B, ny, nx, ps * ps))
+
+
+def _bilinear_abs_packed(img: jax.Array, fy: jax.Array, fx: jax.Array):
+    """Bilinear-sample ``img`` [B, h, w] at absolute coords (fy, fx) [B, H, W].
+
+    Coords must satisfy ``0 <= f <= dim-1``. Single packed 4-corner gather:
+    the (y+1, x+1) neighbors ride as extra lanes of an edge-replicated
+    operand, so one ``take_along_axis`` fetches all four corners (the same
+    trick as ops.farneback._warp_bilinear, reference flow warp :878-879).
+    """
+    B, h, w = img.shape
+    H, W = fy.shape[1], fy.shape[2]
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = (fy - y0).reshape(B, H * W, 1)
+    wx = (fx - x0).reshape(B, H * W, 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    idx = (y0i * w + x0i).reshape(B, H * W)
+
+    iy = jnp.concatenate([img[:, 1:, :], img[:, h - 1:, :]], axis=1)
+    ix = jnp.concatenate([img[:, :, 1:], img[:, :, w - 1:]], axis=2)
+    ixy = jnp.concatenate([iy[:, :, 1:], iy[:, :, w - 1:]], axis=2)
+    packed = jnp.stack(
+        [img.reshape(B, h * w), ix.reshape(B, h * w),
+         iy.reshape(B, h * w), ixy.reshape(B, h * w)], axis=-1)
+    g = jnp.take_along_axis(packed, idx[..., None], axis=1)
+    val = (g[..., 0] * (1 - wx[..., 0]) + g[..., 1] * wx[..., 0]) * (1 - wy[..., 0]) \
+        + (g[..., 2] * (1 - wx[..., 0]) + g[..., 3] * wx[..., 0]) * wy[..., 0]
+    return val.reshape(B, H, W)
+
+
 def _d5(img: jax.Array):
     """5-point derivative stencil [-1, 8, 0, -8, 1]/12 (Brox'04), replicate
     borders; returns (d/dx, d/dy)."""
@@ -195,7 +268,16 @@ def variational_refinement(I0, I1, u, v, cfg: DISConfig):
     vc = jnp.clip(ys + v, 0.0, h - 1.0) - ys
 
     I1x, I1y = _d5(I1)
-    (W1, W1x, W1y), _ = _warp_bilinear((I1, I1x, I1y), uc, vc)
+    if jax.default_backend() == "tpu" and h % 8 == 0:
+        # band-warp Mosaic kernel (profiled ~4x the XLA packed gather here);
+        # coords are pre-clamped above, so every pixel is in-bounds and the
+        # XLA path's inb mask is vacuous
+        from ..ops.pallas.warp import warp_planes_padded
+
+        warped = warp_planes_padded((I1, I1x, I1y), uc, vc)
+        W1, W1x, W1y = warped[:, 0], warped[:, 1], warped[:, 2]
+    else:
+        (W1, W1x, W1y), _ = _warp_bilinear((I1, I1x, I1y), uc, vc)
 
     Ax, Ay = 0.5 * (W1x + _d5(I0)[0]), 0.5 * (W1y + _d5(I0)[1])
     Iz = W1 - I0
@@ -292,7 +374,7 @@ def _dis_level(I0, I1, u, v, cfg: DISConfig):
 
     def step(carry, _):
         pu, pv = carry
-        P1 = _sample_patches(I1, py, px, pv, pu, ps)
+        P1 = _sample_patches_dense(I1, py, px, pv, pu, ps)
         if cfg.use_mean_norm:
             P1 = P1 - P1.mean(axis=-1, keepdims=True)
         r = P1 - T
@@ -307,7 +389,7 @@ def _dis_level(I0, I1, u, v, cfg: DISConfig):
     (pu, pv), _ = jax.lax.scan(step, (pu, pv), None, length=cfg.gd_iters)
 
     # densification weights: inverse residual energy per patch
-    P1 = _sample_patches(I1, py, px, pv, pu, ps)
+    P1 = _sample_patches_dense(I1, py, px, pv, pu, ps)
     if cfg.use_mean_norm:
         P1 = P1 - P1.mean(axis=-1, keepdims=True)
     lam = 1.0 / jnp.maximum(1.0, jnp.mean((P1 - T) ** 2, -1))

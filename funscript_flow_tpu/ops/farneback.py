@@ -318,10 +318,14 @@ def farneback_flow_planes(f0: jax.Array, f1: jax.Array,
         from .pallas.flow_step import box_blur_solve_pallas
 
     if cfg.warp_backend == "pallas" or (cfg.warp_backend == "auto" and on_tpu):
-        from .pallas.warp import pack_warp_operand, warp_bilinear_pallas, warp_supported
+        from .pallas.warp import _pad_w, pack_warp_operand, warp_bilinear_pallas
 
         def _warp_ok(lh, lw):
-            return warp_supported(lh, lw)
+            # width misalignment is handled by edge-padding to 128 lanes
+            # (the padded columns replicate the XLA path's corner clamp);
+            # profiled: the 64x64 level's XLA bf16 gather fallback cost more
+            # than the 128x128 Pallas warps, so every level routes here now
+            return lh % 8 == 0
     else:
         def _warp_ok(lh, lw):
             return False
@@ -353,11 +357,20 @@ def farneback_flow_planes(f0: jax.Array, f1: jax.Array,
             v = resize_bilinear(v, lh, lw) * inv
 
         if _warp_ok(lh, lw):
-            r_pad, rx_pad = pack_warp_operand(R1)  # once per level
+            wpad = (-lw) % 128
+            R1p = tuple(_pad_w(p, wpad) for p in R1) if wpad else R1
+            r_pad, rx_pad = pack_warp_operand(R1p)  # once per level
 
-            def matrices(u, v):
-                w = warp_bilinear_pallas(r_pad, rx_pad, u, v,
+            def matrices(u, v, wpad=wpad, r_pad=r_pad, rx_pad=rx_pad,
+                         R0=R0, lw=lw):
+                # defaults pin the per-level values (the closure is rebuilt
+                # each level; explicit binding keeps that obvious)
+                up = _pad_w(u, wpad) if wpad else u
+                vp = _pad_w(v, wpad) if wpad else v
+                w = warp_bilinear_pallas(r_pad, rx_pad, up, vp,
                                          interpret=not on_tpu)
+                if wpad:
+                    w = w[..., :lw]
                 warped = tuple(w[:, p] for p in range(5))
                 return matrices_from_warped(R0, warped, warp_inbounds(u, v),
                                             u, v)

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["warp_supported", "pack_warp_operand", "warp_bilinear_pallas"]
+__all__ = ["warp_supported", "pack_warp_operand", "warp_bilinear_pallas",
+           "sample_abs_pallas"]
 
 # rows of edge padding above/below: covers the y+1 corner at y = H-1 AND the
 # 16-row aligned group read at the largest band offset (base+16 <= H+2*PAD)
@@ -53,7 +54,7 @@ def warp_supported(h: int, w: int) -> bool:
 
 
 def pack_warp_operand(planes):
-    """[B,H,W] plane tuple -> (R, Rx) stacked [B,5,H+2*PAD,W] operands.
+    """[B,H,W] plane tuple -> (R, Rx) stacked [B,P,H+2*PAD,W] operands.
 
     R is edge-padded in y; Rx is additionally shifted by one column with the
     last column replicated (so a lane gather at x0 fetches the x0+1 corner,
@@ -66,7 +67,12 @@ def pack_warp_operand(planes):
     return jnp.pad(r, pad, mode="edge"), jnp.pad(rx, pad, mode="edge")
 
 
-def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int):
+def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int,
+            n_planes: int):
+    """One (8, 128) output tile. ``h``/``w`` are the SOURCE plane dims (the
+    clamp/piece bounds); the output grid may be a different shape — (u, v)
+    are displacements from the output pixel's own (row, col), so absolute
+    sampling grids just pass ``coord - iota``."""
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -106,7 +112,7 @@ def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int):
         m_bot = dy_top + 1 == dy
         new_top = []
         new_bot = []
-        for p in range(_N_PLANES):
+        for p in range(n_planes):
             rows = pltpu.roll(r_ref[0, p, pl.ds(base, 16), :], -off, axis=0)
             rowsx = pltpu.roll(rx_ref[0, p, pl.ds(base, 16), :], -off, axis=0)
             vx = zero
@@ -124,9 +130,9 @@ def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int):
             new_bot.append(acc_bot[p] + jnp.where(m_bot, vx, 0.0))
         return tuple(new_top), tuple(new_bot)
 
-    init = ((zero,) * _N_PLANES, (zero,) * _N_PLANES)
+    init = ((zero,) * n_planes, (zero,) * n_planes)
     acc_top, acc_bot = jax.lax.fori_loop(0, trip, body, init)
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         out_ref[0, p] = acc_top[p] * (1.0 - wy) + acc_bot[p] * wy
 
 
@@ -134,25 +140,92 @@ def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int):
 def warp_bilinear_pallas(r_pad: jax.Array, rx_pad: jax.Array,
                          u: jax.Array, v: jax.Array,
                          interpret: bool = False):
-    """Warp 5 packed planes by (u, v); returns [B, 5, H, W] float32.
+    """Warp P packed planes by (u, v); returns [B, P, Ho, Wo] float32.
 
-    r_pad/rx_pad come from :func:`pack_warp_operand`. The caller applies the
-    out-of-bounds mask (same contract as ops.farneback._warp_bilinear).
+    r_pad/rx_pad come from :func:`pack_warp_operand`. (u, v) give each
+    output pixel's displacement from its own (row, col); the output grid
+    (u.shape) may differ from the source plane shape (absolute-grid
+    sampling). The caller applies the out-of-bounds mask (same contract as
+    ops.farneback._warp_bilinear).
     """
     B, P, hp, w = r_pad.shape
     h = hp - 2 * _PAD
-    assert P == _N_PLANES and warp_supported(h, w), (B, P, h, w)
+    ho, wo = u.shape[1], u.shape[2]
+    assert warp_supported(ho, wo) and w % 128 == 0, (B, P, h, w, ho, wo)
     return pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w),
-        grid=(B, h // 8, w // 128),
+        functools.partial(_kernel, h=h, w=w, n_planes=P),
+        grid=(B, ho // 8, wo // 128),
         in_specs=[
-            pl.BlockSpec((1, _N_PLANES, hp, w), lambda b, i, j: (b, 0, 0, 0)),
-            pl.BlockSpec((1, _N_PLANES, hp, w), lambda b, i, j: (b, 0, 0, 0)),
+            pl.BlockSpec((1, P, hp, w), lambda b, i, j: (b, 0, 0, 0)),
+            pl.BlockSpec((1, P, hp, w), lambda b, i, j: (b, 0, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, i, j)),
             pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, i, j)),
         ],
-        out_specs=pl.BlockSpec((1, _N_PLANES, 8, 128),
+        out_specs=pl.BlockSpec((1, P, 8, 128),
                                lambda b, i, j: (b, 0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((B, _N_PLANES, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, P, ho, wo), jnp.float32),
         interpret=interpret,
     )(r_pad, rx_pad, u, v)
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_w(x: jax.Array, wpad: int) -> jax.Array:
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, wpad),), mode="edge")
+
+
+def warp_planes_padded(planes, u: jax.Array, v: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """Relative bilinear warp of [B, H, W] planes -> [B, P, H, W] via the
+    band kernel, edge-padding W to lane alignment (H must be 8-aligned).
+
+    Sampling matches the XLA packed warp for coords with x <= W-1 (the
+    padded columns replicate column W-1, which is exactly the XLA path's
+    corner clamp); out-of-bounds pixels are garbage the caller masks, same
+    contract as ops.farneback._warp_bilinear. One-shot convenience — for
+    warp-several-times-per-operand loops (Farnebäck levels), pack once with
+    :func:`pack_warp_operand` on pre-padded planes instead.
+    """
+    B, H, W = u.shape
+    wpad = (-W) % 128
+    if wpad:
+        planes = tuple(_pad_w(p, wpad) for p in planes)
+        u = _pad_w(u, wpad)
+        v = _pad_w(v, wpad)
+    r_pad, rx_pad = pack_warp_operand(planes)
+    out = warp_bilinear_pallas(r_pad, rx_pad, u, v, interpret=interpret)
+    return out[..., :W] if wpad else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sample_abs_pallas(img: jax.Array, fy: jax.Array, fx: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """Bilinear-sample ``img`` [B, h, w] at absolute coords [B, Ho, Wo].
+
+    Coords must satisfy ``0 <= fy <= h-1``, ``0 <= fx <= w-1`` (the callers
+    pre-clamp). Pads the source width and the output grid to Mosaic tile
+    alignment, runs the band-warp kernel with one plane, and slices the
+    padding back off. Matches models.dis._bilinear_abs_packed to f32
+    rounding (tested).
+    """
+    B, h, w = img.shape
+    Ho, Wo = fy.shape[1], fy.shape[2]
+    wp = _ceil_to(w, 128)
+    if wp != w:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, wp - w)), mode="edge")
+    r_pad, rx_pad = pack_warp_operand((img,))
+    Hop, Wop = _ceil_to(Ho, 8), _ceil_to(Wo, 128)
+    pad2 = ((0, 0), (0, Hop - Ho), (0, Wop - Wo))
+    # edge-replicate the coords into the alignment padding: pad lanes then
+    # sample the same source rows as their tile neighbors, so the adaptive
+    # dy band stays tight (zero-filled coords would make every edge tile
+    # walk a band from row 0 to its real rows); sliced off below
+    fyp = jnp.pad(fy, pad2, mode="edge")
+    fxp = jnp.pad(fx, pad2, mode="edge")
+    ys = jax.lax.broadcasted_iota(jnp.float32, (Hop, Wop), 0)[None]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (Hop, Wop), 1)[None]
+    out = warp_bilinear_pallas(r_pad, rx_pad, fxp - xs, fyp - ys,
+                               interpret=interpret)
+    return out[:, 0, :Ho, :Wo]

@@ -278,6 +278,14 @@ def process_video(video_path: str, params: Params, log_func,
     results = []
     n_pairs_total = n_samples - 1
     timers = StageTimers()
+    # Pipeline priming: a window of pairs [0, B) needs B + radius pairs
+    # (B + radius + 1 frames) buffered before the analyzer can dispatch it.
+    # Pulling exactly B frames per iteration would leave the device idle
+    # until TWO windows of frames had decoded (239 pairs < 246 needed);
+    # pulling the halo along with the first chunk lets window 0 dispatch as
+    # soon as it exists, fully overlapping device compute with decode.
+    pull = cfg.pair_batch * max(1, params.mesh)
+    next_pull = pull + 2 * analyzer.radius + 1
     try:
         with profile_trace(params.profile_dir or None):
             while True:
@@ -285,7 +293,8 @@ def process_video(video_path: str, params: Params, log_func,
                     log_func(STRINGS["cancelled_by_user"])
                     return False
                 with timers.stage("decode_wait"):
-                    batch = source.get_batch(cfg.pair_batch * max(1, params.mesh))
+                    batch = source.get_batch(next_pull)
+                    next_pull = pull
                 with timers.stage("device_compute"):
                     if batch:
                         results.extend(analyzer.push(batch))

@@ -106,6 +106,26 @@ def test_dis_presets_match_cv2_knobs():
         assert ours.var_iters == d.getVariationalRefinementIterations()
 
 
+@pytest.mark.parametrize("dims", [(64, 64, 15, 15), (32, 32, 7, 7), (40, 48, 9, 11)])
+def test_dense_patch_sampler_matches_window_gather(dims):
+    """_sample_patches_dense (one dense packed gather — the TPU-fast layout)
+    must agree with the per-patch window gather to f32 rounding, including
+    far out-of-range offsets that exercise the corner clamping."""
+    from funscript_flow_tpu.models.dis import _sample_patches, _sample_patches_dense
+
+    h, w, ny, nx = dims
+    st, ps, B = 4, 8, 5
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((B, h, w)), jnp.float32)
+    py = jnp.asarray((np.arange(ny) * st)[:, None] * np.ones((1, nx)), jnp.float32)
+    px = jnp.asarray(np.ones((ny, 1)) * (np.arange(nx) * st)[None, :], jnp.float32)
+    uy = jnp.asarray(rng.uniform(-h, h, (B, ny, nx)), jnp.float32)
+    ux = jnp.asarray(rng.uniform(-w, w, (B, ny, nx)), jnp.float32)
+    a = np.asarray(_sample_patches(img, py, px, uy, ux, ps))
+    b = np.asarray(_sample_patches_dense(img, py, px, uy, ux, ps))
+    np.testing.assert_allclose(a, b, atol=5e-5)
+
+
 def test_dis_zero_motion_is_zeroish():
     rng = np.random.default_rng(3)
     f0, _ = make_pair(rng, 128, 128, (0, 0))

@@ -62,12 +62,15 @@ def test_inbounds_mask_matches_warp_bilinear(rng):
 
 def test_warp_supported_gate():
     assert warp_supported(256, 256) and warp_supported(128, 128)
-    assert not warp_supported(64, 64)     # sub-tile levels use the XLA path
+    # sub-tile widths fail the raw kernel gate; the farneback wrapper
+    # edge-pads them to 128 lanes instead of falling back to XLA
+    assert not warp_supported(64, 64)
     assert not warp_supported(100, 256)
 
 
 def test_full_flow_pallas_vs_xla_f32(rng):
-    """End-to-end Farnebäck with the Pallas warp at the 256/128 levels."""
+    """End-to-end Farnebäck with the Pallas warp at every level
+    (64/32-px levels go through the width-padded route)."""
     import cv2
 
     base = rng.normal(size=(300, 300)).astype(np.float32)
@@ -83,3 +86,22 @@ def test_full_flow_pallas_vs_xla_f32(rng):
         farneback_flow(f0, f1, FarnebackConfig(warp_backend="pallas"))
     )
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("dims", [(64, 64, 120, 120), (32, 32, 56, 56),
+                                  (40, 48, 72, 88)])
+def test_sample_abs_matches_packed_gather(dims, rng):
+    """sample_abs_pallas (absolute-grid sampling, 1 plane, padded alignment)
+    must match the packed XLA 4-corner gather used by the DIS dense patch
+    sampler, including non-tile-aligned sources and output grids."""
+    from funscript_flow_tpu.ops.pallas.warp import sample_abs_pallas
+    from funscript_flow_tpu.models.dis import _bilinear_abs_packed
+
+    h, w, Ho, Wo = dims
+    B = 3
+    img = jnp.asarray(rng.random((B, h, w)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(0, h - 1, (B, Ho, Wo)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(0, w - 1, (B, Ho, Wo)).astype(np.float32))
+    a = np.asarray(_bilinear_abs_packed(img, fy, fx))
+    b = np.asarray(sample_abs_pallas(img, fy, fx, interpret=True))
+    np.testing.assert_allclose(a, b, atol=2e-5)

@@ -55,8 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Fused Mosaic kernels for polyexp + blur/solve "
                         "(auto = on when running on TPU; measured +36%% pairs/s)")
     p.add_argument("--mesh", type=int, default=0,
-                   help="Shard each video's pair windows over N devices "
-                        "(jax mesh + shard_map; 0 = single device)")
+                   help="Use N devices: folders run one video per device "
+                        "(video-level DP); a single video shards its pair "
+                        "windows (jax mesh + shard_map). 0 = single device")
     p.add_argument("--dis_preset", choices=["ultrafast", "fast", "medium"],
                    default="fast",
                    help="DIS backend preset (cv2 equivalents; default: fast)")

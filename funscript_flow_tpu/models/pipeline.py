@@ -191,14 +191,22 @@ class StreamingFlowAnalyzer:
 
     KEYS = ("dots", "cuts", "centers", "mean_mag", "val_pos")
 
-    def __init__(self, cfg: PipelineConfig | None = None, mesh=None):
+    def __init__(self, cfg: PipelineConfig | None = None, mesh=None,
+                 device=None):
         """``mesh``: optional jax.sharding.Mesh — each dispatch then covers
         ``n_devices * pair_batch`` pairs, one halo'd window per device under
         shard_map (parallel.dp). Per-pair results are bitwise identical to
         the single-device path because every emitted pair sees the same
-        halo'd frame window either way (batch-size invariance, tested)."""
+        halo'd frame window either way (batch-size invariance, tested).
+
+        ``device``: optional single jax.Device to pin dispatches to (jit
+        follows committed inputs) — the unit of video-level data parallelism
+        in run_headless's folder mode (one analyzer per device, one video
+        each). Mutually exclusive with ``mesh``."""
         self.cfg = cfg or PipelineConfig()
         self.mesh = mesh
+        self.device = device
+        assert mesh is None or device is None
         self._D = 1 if mesh is None else int(mesh.devices.size)
         self.radius = CENTER_SMOOTH_RADIUS
         self._buf: list = []   # pending frames
@@ -240,10 +248,14 @@ class StreamingFlowAnalyzer:
             a = max(0, s - r)
             b = e + r if n_total is None else min(n_total, e + r)
             bucket = self._tail_bucket(e - s)
-            res = flow_chunk_program(
-                jnp.asarray(self._frames_window(a, b, bucket)),
-                jnp.int32(b - a), self.cfg,
-            )
+            window = self._frames_window(a, b, bucket)
+            if self.device is not None:
+                win_dev = jax.device_put(window, self.device)
+                nv = jax.device_put(np.int32(b - a), self.device)
+            else:
+                win_dev = jnp.asarray(window)
+                nv = jnp.int32(b - a)
+            res = flow_chunk_program(win_dev, nv, self.cfg)
             self._pending.append((res, [(None, s - a, e - a)]))
         else:
             from ..parallel.dp import analyze_windows_sharded

@@ -181,7 +181,8 @@ def _planned_tail_buckets(pair_batch: int, radius: int, n_pairs: int) -> list:
     return buckets
 
 
-def _prewarm_tail_async(cfg: PipelineConfig, radius: int, n_pairs: int):
+def _prewarm_tail_async(cfg: PipelineConfig, radius: int, n_pairs: int,
+                        device=None):
     """Start loading/compiling the tail-window executable in the background.
 
     A fresh process pays ~30 s per executable shape even on a persistent-
@@ -195,13 +196,18 @@ def _prewarm_tail_async(cfg: PipelineConfig, radius: int, n_pairs: int):
 
     def work():
         try:
+            import jax
             import jax.numpy as jnp
 
             for b in buckets:
                 frames = np.zeros((b + 2 * radius + 1, 256, 256), np.uint8)
-                flow_chunk_program(
-                    jnp.asarray(frames), jnp.int32(1), cfg
-                )["dots"].block_until_ready()
+                if device is not None:
+                    fr = jax.device_put(frames, device)
+                    nv = jax.device_put(np.int32(1), device)
+                else:
+                    fr = jnp.asarray(frames)
+                    nv = jnp.int32(1)
+                flow_chunk_program(fr, nv, cfg)["dots"].block_until_ready()
         except Exception:
             pass  # warmup is best-effort; the real dispatch will surface errors
 
@@ -214,12 +220,14 @@ def _prewarm_tail_async(cfg: PipelineConfig, radius: int, n_pairs: int):
 
 def process_video(video_path: str, params: Params, log_func,
                   progress_callback=None, cancel_flag=None,
-                  preopened=None) -> bool:
+                  preopened=None, device=None) -> bool:
     """Process one video into a ``.funscript``. Returns error_occurred.
 
     ``preopened``: optional (meta, source) prepared ahead of time by
     run_headless so video k+1's decode overlaps video k's tail (the
     cross-video analog of the reference's chunk prefetch, :1139-1185).
+    ``device``: pin all device work to one jax.Device — the unit of
+    video-level DP in run_headless's parallel folder mode.
     """
     start_time = time.time()
     output_path = funscript_path(video_path)
@@ -259,15 +267,15 @@ def process_video(video_path: str, params: Params, log_func,
         warp_backend=params.warp_backend,
     )
     mesh = None
-    if params.mesh and params.mesh > 1:
+    if device is None and params.mesh and params.mesh > 1:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(params.mesh)
         log_func(STRINGS["mesh_devices"].format(
             n=params.mesh, platform=mesh.devices.flat[0].platform))
-    analyzer = StreamingFlowAnalyzer(cfg, mesh=mesh)
+    analyzer = StreamingFlowAnalyzer(cfg, mesh=mesh, device=device)
     if mesh is None:
-        _prewarm_tail_async(cfg, analyzer.radius, n_samples - 1)
+        _prewarm_tail_async(cfg, analyzer.radius, n_samples - 1, device)
     if preopened is not None:
         source = preopened[1]
     else:
@@ -341,9 +349,63 @@ def process_video(video_path: str, params: Params, log_func,
     return error_occurred
 
 
+def _run_videos_parallel(files, params: Params, log_func,
+                         progress_callback, n_workers: int) -> bool:
+    """Video-level data parallelism: round-robin videos over the first
+    ``n_workers`` devices (SURVEY.md §2.4: folder mode = many clips feeding
+    one mesh; the reference's sequential per-file loop :1633 becomes one
+    video per chip). Each worker pins all its device work to its own chip
+    via committed inputs; per-video logs are buffered and flushed whole
+    under a lock, so run.log stays grouped per video like the sequential
+    path. Funscript outputs are identical to the sequential runner's
+    (per-video processing is independent; tested on the virtual CPU mesh).
+    """
+    import queue
+    import threading
+
+    import jax
+
+    devices = jax.devices()[:n_workers]
+    work: queue.Queue = queue.Queue()
+    for item in enumerate(files):
+        work.put(item)
+    lock = threading.Lock()
+    state = {"err": False, "done": 0}
+
+    def worker(dev):
+        while True:
+            try:
+                i, video = work.get_nowait()
+            except queue.Empty:
+                return
+            lines = [STRINGS["processing_file"].format(
+                current=i + 1, total=len(files), video_path=video)]
+            err = process_video(video, params, lines.append, device=dev)
+            with lock:
+                state["err"] |= err
+                for ln in lines:
+                    log_func(ln)
+                state["done"] += 1
+                if progress_callback is not None:
+                    progress_callback(int(100 * state["done"] / len(files)))
+
+    threads = [threading.Thread(target=worker, args=(d,)) for d in devices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return state["err"]
+
+
 def run_headless(input_path: str, params: Params, log_path: str = "run.log",
                  progress_callback=None) -> bool:
-    """Folder/file batch runner with run.log tee (reference :2606-2638)."""
+    """Folder/file batch runner with run.log tee (reference :2606-2638).
+
+    With ``--mesh N`` and more than one input file, videos round-robin over
+    N devices (one per chip) instead of sharding each video's windows —
+    whole-clip DP utilizes the mesh better than window DP when the folder
+    is the workload (SURVEY.md §2.4).
+    """
     logf = open(log_path, "w")
 
     def log_func(msg):
@@ -357,6 +419,13 @@ def run_headless(input_path: str, params: Params, log_path: str = "run.log",
             log_func("No video files found.")
             return False
         log_func(STRINGS["found_files"].format(n=len(files)))
+
+        n_workers = min(params.mesh or 1, len(files))
+        if n_workers > 1:
+            any_error = _run_videos_parallel(
+                files, params, log_func, progress_callback, n_workers)
+            log_func(STRINGS["batch_processing_complete"])
+            return any_error
 
         def prepare(path):
             """Open video k+1's decode source while video k computes (the

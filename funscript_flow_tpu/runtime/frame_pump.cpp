@@ -374,7 +374,7 @@ void* fp_open_v2(const char* path, int vr_mode, int step, int queue_depth,
                  long long start_sample, long long max_samples, int gray,
                  int fast) {
   auto* p = new FramePump();
-  p->step = step > 0 ? step : 1;
+  p->step = step;  // <= 0: self-probe from fps at open
   p->vr_mode = vr_mode != 0;
   p->queue_depth = queue_depth > 0 ? static_cast<size_t>(queue_depth) : 256;
   p->start_sample = start_sample > 0 ? start_sample : 0;
@@ -383,15 +383,19 @@ void* fp_open_v2(const char* path, int vr_mode, int step, int queue_depth,
 
   if (fast && p->gray) {
     av_log_set_level(AV_LOG_ERROR);
-    if (p->lav.open(path, p->vr_mode) &&
-        (p->start_sample == 0 || p->lav.seek_to(p->start_sample * p->step))) {
-      p->fast = true;
+    if (p->lav.open(path, p->vr_mode)) {
       p->fps = p->lav.fps;
-      p->total_frames = p->lav.total_frames;
-      p->src_w = p->lav.src_w;
-      p->src_h = p->lav.src_h;
-      p->worker = std::thread([p] { p->run(); });
-      return p;
+      if (p->step <= 0) {  // self-probe: step = ceil(fps/30), one open total
+        p->step = (int)std::max(1.0, std::ceil(p->fps / 30.0));
+      }
+      if (p->start_sample == 0 || p->lav.seek_to(p->start_sample * p->step)) {
+        p->fast = true;
+        p->total_frames = p->lav.total_frames;
+        p->src_w = p->lav.src_w;
+        p->src_h = p->lav.src_h;
+        p->worker = std::thread([p] { p->run(); });
+        return p;
+      }
     }
     p->lav.close();  // fall back to the exact engine
   }
@@ -404,6 +408,9 @@ void* fp_open_v2(const char* path, int vr_mode, int step, int queue_depth,
   p->total_frames = static_cast<long long>(p->cap.get(cv::CAP_PROP_FRAME_COUNT));
   p->src_w = static_cast<int>(p->cap.get(cv::CAP_PROP_FRAME_WIDTH));
   p->src_h = static_cast<int>(p->cap.get(cv::CAP_PROP_FRAME_HEIGHT));
+  if (p->step <= 0) {  // self-probe (same formula as VideoMeta.step)
+    p->step = (int)std::max(1.0, std::ceil(p->fps / 30.0));
+  }
   if (p->start_sample > 0) {
     p->cap.set(cv::CAP_PROP_POS_FRAMES,
                static_cast<double>(p->start_sample * p->step));
@@ -437,6 +444,8 @@ void fp_meta(void* h, double* fps, long long* total_frames, int* w, int* hgt) {
   if (w) *w = p->src_w;
   if (hgt) *hgt = p->src_h;
 }
+
+int fp_step(void* h) { return static_cast<int>(static_cast<FramePump*>(h)->step); }
 
 int fp_next_batch(void* h, unsigned char* out, int max_frames) {
   return static_cast<FramePump*>(h)->next_batch(out, max_frames);

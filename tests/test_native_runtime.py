@@ -129,3 +129,22 @@ def test_native_cancel(clip):
     flag["c"] = True
     assert src.get_batch(4) == []
     src.close()
+
+
+def test_self_probe_meta_matches_cv2_probe(clip):
+    """meta=None lets the pump self-probe (single container open): the
+    reported VideoMeta and the decoded frames must match the cv2-probe
+    path exactly (the 60 fps clip also exercises step=2 self-computation)."""
+    want_meta = iodec.probe(clip)
+    src = native_rt.NativeFrameSource(clip, None, gray=True)
+    got_meta = src.meta
+    assert got_meta.fps == want_meta.fps
+    assert got_meta.total_frames == want_meta.total_frames
+    assert (got_meta.width, got_meta.height) == (want_meta.width, want_meta.height)
+    assert got_meta.step == want_meta.step == 2
+    got = collect(src, None)
+
+    ref_src = native_rt.NativeFrameSource(clip, want_meta, gray=True)
+    want = collect(ref_src, None)
+    assert len(got) == len(want) == len(want_meta.sampled_indices)
+    np.testing.assert_array_equal(np.stack(got), np.stack(want))

@@ -110,10 +110,11 @@ def main() -> None:
             jnp.asarray(warm_frames), jnp.int32(4), cfg
         )["dots"].block_until_ready()
 
-    # --- scenario 1: single 20 s 1080p30 clip, best of 3 (shared-pool noise) ---
+    # --- scenario 1: single 20 s 1080p30 clip, best of 5 (shared-pool noise:
+    # back-to-back identical runs measure 10.6-12.9x; min-of-N converges) ---
     walls, splits = [], []
     timer_re = re.compile(r"decode_wait=([0-9.]+)s device_compute=([0-9.]+)s")
-    for _ in range(3):
+    for _ in range(5):
         lines = []
         t0 = time.time()
         err = process_video(main_clip, params, log_func=lines.append)
@@ -131,12 +132,12 @@ def main() -> None:
     n_pairs = int(DURATION_S * FPS) - 1
     pairs_per_s = n_pairs / max(device_compute, 1e-9)
 
-    # --- scenario 2: folder batch (3 clips, 40 s of video), best of 2 ---
+    # --- scenario 2: folder batch (3 clips, 40 s of video), best of 3 ---
     # (the shared TPU pool shows transient multi-x contention; a single pass
     # can land entirely inside a contended window and under-report by 3-4x)
     total_secs = sum(s for _, s, _, _, _ in folder_specs)
     folder_x_rt = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         err = run_headless(folder, params,
                            log_path=os.path.join(BENCH_DIR, "run.log"))

@@ -122,8 +122,16 @@ class NativeFrameSource:
         h = ctypes.c_int()
         self._lib.fp_meta(self._h, ctypes.byref(fps), ctypes.byref(tf),
                           ctypes.byref(w), ctypes.byref(h))
-        return VideoMeta(total_frames=int(tf.value), fps=float(fps.value),
+        meta = VideoMeta(total_frames=int(tf.value), fps=float(fps.value),
                          width=int(w.value), height=int(h.value))
+        # the pump samples on its own step; a silent disagreement with the
+        # VideoMeta formula would mis-time every emitted action
+        pump_step = int(self._lib.fp_step(self._h))
+        if pump_step != meta.step:
+            raise RuntimeError(
+                f"pump step {pump_step} != VideoMeta.step {meta.step} "
+                f"(fps={meta.fps})")
+        return meta
 
     @property
     def is_fast(self) -> bool:

@@ -1,17 +1,29 @@
 """End-to-end benchmark: video -> funscript, x-realtime per chip.
 
-Prints ONE JSON line. Headline metric (stable across rounds): a 20 s
-synthetic 1080p30 clip processed end-to-end (decode + flow + signal + emit),
-best of 3. Extra fields in the same line:
+Prints ONE JSON line. Headline metric (round 3+): a 20 s synthetic
+**1080p30 long-GOP h264** clip (the dominant real-library codec and the
+reference's decode hot spot, FunscriptFlow.pyw:177-189) processed
+end-to-end (decode + flow + signal + emit), best of 5. Clips are written
+through the native encoder (runtime/encoder.cpp: libx264, GOP 250,
+3 B-frames); when that encoder is unavailable the whole bench falls back
+to mp4v and says so in ``codec``.
+
+Extra fields in the same line:
 
 * ``folder_x_realtime`` — the reference's actual workload shape ("a hundred
-  gigs per day", README.md:1): a folder of three mixed-length clips through
-  ``run_headless`` (exercises cross-video decode prefetch), one pass.
+  gigs per day", README.md:1): a folder of three mixed-length h264 clips
+  through ``run_headless`` (exercises cross-video decode prefetch), best
+  of 3.
+* ``mp4v_x_realtime`` — the same 20 s clip re-encoded as mp4v, best of 2:
+  comparable to the round-1/2 headline numbers (mpegvideo codecs keep the
+  libav lowres fast-decode path that h264 doesn't have).
+* ``vr_x_realtime`` — a 6 s 4K (3840x1920) side-by-side VR clip with
+  ``vr_mode=True`` (512-quadrant crop from >=4K decode — the expensive
+  real-world case, FunscriptFlow.pyw:1076-1079), best of 2.
 * ``decode_wait_s`` / ``device_compute_s`` — stage split of the best
-  single-clip run (from the runner's StageTimers).
+  single-clip h264 run (from the runner's StageTimers).
 * ``pairs_per_s`` — device-side flow throughput implied by that run.
-* ``codec`` — h264 when an encoder is available (long-GOP, like real
-  content), else mp4v.
+* ``codec`` — "h264" (native encoder) or "mp4v" (fallback).
 
 Baseline: the reference is "usually faster than watching it" on a desktop
 CPU, i.e. ~1x realtime (README.md:52-53, BASELINE.md) — ``vs_baseline`` is
@@ -31,25 +43,38 @@ DURATION_S = 20.0
 FPS = 30
 
 
-def _writer(path, fps, size):
-    """Prefer an h264 encoder (long-GOP, like real content); mp4v fallback."""
-    import cv2
+def _native_encoder():
+    try:
+        from funscript_flow_tpu import runtime as rt
 
-    for fourcc in ("avc1", "H264", "mp4v"):
-        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), fps, size)
-        if vw.isOpened():
-            return vw, ("h264" if fourcc != "mp4v" else "mp4v")
-    raise RuntimeError("no usable encoder")
+        if rt.encoder_available("libx264"):
+            return rt
+    except Exception:
+        pass
+    return None
 
 
 def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
-                     seed: int = 0) -> str:
+                     seed: int = 0, codec: str = "h264") -> str:
+    """Synthetic oscillating-zoom content; returns the codec actually used."""
     import cv2
 
     n = int(seconds * FPS)
     rng = np.random.default_rng(seed)
     tex = cv2.GaussianBlur((rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 5)
-    vw, codec = _writer(path, FPS, (w, h))
+
+    rt = _native_encoder() if codec == "h264" else None
+    if rt is not None:
+        enc = rt.VideoEncoder(path, w, h, float(FPS), codec="libx264",
+                              gop=250, bframes=3)
+        used = "h264"
+    else:
+        enc = None
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("no usable encoder")
+        used = "mp4v"
+
     for i in range(n):
         if i == n // 2:
             tex = cv2.GaussianBlur(
@@ -59,9 +84,34 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
         M = cv2.getRotationMatrix2D((w, h), 0, s)
         M[0, 2] += 3.0 * np.sin(2 * np.pi * i / 200.0)
         img = cv2.warpAffine(tex, M, (w * 2, h * 2))[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
-        vw.write(cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2BGR))
-    vw.release()
-    return codec
+        bgr = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2BGR)
+        if enc is not None:
+            enc.write(bgr)
+        else:
+            vw.write(bgr)
+    if enc is not None:
+        enc.close()
+    else:
+        vw.release()
+    return used
+
+
+def _timed_runs(process_video, clip, params, n_runs, duration):
+    """Best-of-N single-clip runs; returns (x_realtime, decode_wait, device_compute)."""
+    timer_re = re.compile(r"decode_wait=([0-9.]+)s device_compute=([0-9.]+)s")
+    walls, splits = [], []
+    for _ in range(n_runs):
+        lines = []
+        t0 = time.time()
+        err = process_video(clip, params, log_func=lines.append)
+        wall = time.time() - t0
+        if err:
+            return None
+        m = next((timer_re.search(ln) for ln in lines if timer_re.search(ln)), None)
+        walls.append(wall)
+        splits.append((float(m.group(1)), float(m.group(2))) if m else (0.0, 0.0))
+    best = int(np.argmin(walls))
+    return duration / walls[best], splits[best][0], splits[best][1]
 
 
 def main() -> None:
@@ -74,26 +124,27 @@ def main() -> None:
     from funscript_flow_tpu.utils.params import Params
 
     os.makedirs(BENCH_DIR, exist_ok=True)
-    main_clip = os.path.join(BENCH_DIR, "clip_main.mp4")
     folder = os.path.join(BENCH_DIR, "folder")
     os.makedirs(folder, exist_ok=True)
-    codec = None
+
+    codec = "h264" if _native_encoder() is not None else "mp4v"
+    main_clip = os.path.join(BENCH_DIR, f"clip_main_{codec}.mp4")
     if not os.path.exists(main_clip):
-        codec = make_bench_video(main_clip, DURATION_S)
-    folder_specs = [("a_20s_1080p.mp4", 20.0, 1080, 1920, 1),
-                    ("b_12s_1080p.mp4", 12.0, 1080, 1920, 2),
-                    ("c_8s_720p.mp4", 8.0, 720, 1280, 3)]
+        make_bench_video(main_clip, DURATION_S, codec=codec)
+    folder_specs = [(f"a_20s_1080p_{codec}.mp4", 20.0, 1080, 1920, 1),
+                    (f"b_12s_1080p_{codec}.mp4", 12.0, 1080, 1920, 2),
+                    (f"c_8s_720p_{codec}.mp4", 8.0, 720, 1280, 3)]
     for name, secs, h, w, seed in folder_specs:
         p = os.path.join(folder, name)
         if not os.path.exists(p):
-            codec = make_bench_video(p, secs, h, w, seed) or codec
-    if codec is None:  # clips were cached; probe the encoder choice cheaply
-        import cv2
-
-        vw = cv2.VideoWriter(os.path.join(BENCH_DIR, "probe.mp4"),
-                             cv2.VideoWriter_fourcc(*"avc1"), 30, (64, 64))
-        codec = "h264" if vw.isOpened() else "mp4v"
-        vw.release()
+            make_bench_video(p, secs, h, w, seed, codec=codec)
+    mp4v_clip = os.path.join(BENCH_DIR, "clip_main_mp4v.mp4")
+    if codec == "h264" and not os.path.exists(mp4v_clip):
+        make_bench_video(mp4v_clip, DURATION_S, codec="mp4v")
+    vr_clip = os.path.join(BENCH_DIR, f"clip_vr4k_{codec}.mp4")
+    vr_secs = 6.0
+    if codec == "h264" and not os.path.exists(vr_clip):
+        make_bench_video(vr_clip, vr_secs, h=1920, w=3840, seed=4, codec=codec)
 
     params = Params(overwrite=True)
 
@@ -110,31 +161,18 @@ def main() -> None:
             jnp.asarray(warm_frames), jnp.int32(4), cfg
         )["dots"].block_until_ready()
 
-    # --- scenario 1: single 20 s 1080p30 clip, best of 5 (shared-pool noise:
-    # back-to-back identical runs measure 10.6-12.9x; min-of-N converges) ---
-    walls, splits = [], []
-    timer_re = re.compile(r"decode_wait=([0-9.]+)s device_compute=([0-9.]+)s")
-    for _ in range(5):
-        lines = []
-        t0 = time.time()
-        err = process_video(main_clip, params, log_func=lines.append)
-        wall = time.time() - t0
-        if err:
-            print(json.dumps({"metric": "bench_error", "value": 0, "unit": "", "vs_baseline": 0}))
-            return
-        m = next((timer_re.search(ln) for ln in lines if timer_re.search(ln)), None)
-        walls.append(wall)
-        splits.append((float(m.group(1)), float(m.group(2))) if m else (0.0, 0.0))
-
-    best = int(np.argmin(walls))
-    x_rt = DURATION_S / walls[best]
-    decode_wait, device_compute = splits[best]
+    # --- scenario 1 (headline): single 20 s 1080p30 h264 clip, best of 5
+    # (shared-pool noise: back-to-back identical runs vary 10-30%; min-of-N
+    # converges) ---
+    r = _timed_runs(process_video, main_clip, params, 5, DURATION_S)
+    if r is None:
+        print(json.dumps({"metric": "bench_error", "value": 0, "unit": "", "vs_baseline": 0}))
+        return
+    x_rt, decode_wait, device_compute = r
     n_pairs = int(DURATION_S * FPS) - 1
     pairs_per_s = n_pairs / max(device_compute, 1e-9)
 
     # --- scenario 2: folder batch (3 clips, 40 s of video), best of 3 ---
-    # (the shared TPU pool shows transient multi-x contention; a single pass
-    # can land entirely inside a contended window and under-report by 3-4x)
     total_secs = sum(s for _, s, _, _, _ in folder_specs)
     folder_x_rt = 0.0
     for _ in range(3):
@@ -144,12 +182,27 @@ def main() -> None:
         if not err:
             folder_x_rt = max(folder_x_rt, total_secs / (time.time() - t0))
 
+    # --- scenario 3: mp4v comparability point (round-1/2 headline shape) ---
+    mp4v_x_rt = 0.0
+    if os.path.exists(mp4v_clip):
+        r = _timed_runs(process_video, mp4v_clip, params, 2, DURATION_S)
+        mp4v_x_rt = r[0] if r else 0.0
+
+    # --- scenario 4: 4K SBS VR clip, vr_mode, best of 2 ---
+    vr_x_rt = 0.0
+    if os.path.exists(vr_clip):
+        vr_params = Params(overwrite=True, vr_mode=True)
+        r = _timed_runs(process_video, vr_clip, vr_params, 2, vr_secs)
+        vr_x_rt = r[0] if r else 0.0
+
     print(json.dumps({
-        "metric": "1080p30 end-to-end (decode+flow+signal+emit) per chip",
+        "metric": "1080p30 h264 end-to-end (decode+flow+signal+emit) per chip",
         "value": round(x_rt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(x_rt / 1.0, 2),
         "folder_x_realtime": round(folder_x_rt, 2),
+        "mp4v_x_realtime": round(mp4v_x_rt, 2),
+        "vr_x_realtime": round(vr_x_rt, 2),
         "decode_wait_s": round(decode_wait, 2),
         "device_compute_s": round(device_compute, 2),
         "pairs_per_s": round(pairs_per_s, 1),

@@ -83,7 +83,10 @@ def _add_tooltip(widget, text: str) -> None:
 
 
 def collect_settings(widgets: dict) -> Params:
-    """Map GUI widget values -> Params (testable without a display)."""
+    """Map GUI widget values -> Params (testable without a display).
+
+    Covers the FULL Params surface (the reference GUI exposed its whole
+    settings dict, :2004-2018; round-2 left the TPU knobs CLI-only)."""
     return Params(
         threads=int(widgets["threads"]),
         detrend_window=float(widgets["detrend_window"]),
@@ -95,6 +98,11 @@ def collect_settings(widgets: dict) -> Params:
         keyframe_reduction=bool(widgets["keyframe_reduction"]),
         backend=str(widgets["backend"]).split(" ")[0],
         cut_threshold=float(widgets.get("cut_threshold", 7.0)),
+        mesh=int(widgets.get("mesh", 0)),
+        dis_preset=str(widgets.get("dis_preset", "fast")),
+        decode_quality=str(widgets.get("decode_quality", "fast")),
+        signal_backend=str(widgets.get("signal_backend", "auto")),
+        use_pallas=str(widgets.get("use_pallas", "auto")),
     )
 
 
@@ -202,6 +210,7 @@ def launch() -> int:
         (STRINGS["norm_window"], "norm_window", 3.0),
         (STRINGS["batch_size"], "batch_size", 3000),
         ("Cut threshold", "cut_threshold", 7.0),
+        ("Mesh devices", "mesh", 0),
     ]):
         ttk.Label(frm_adv, text=label).grid(row=i // 3, column=(i % 3) * 2, sticky="e")
         var = tk.StringVar(value=str(default))
@@ -209,13 +218,31 @@ def launch() -> int:
         ttk.Entry(frm_adv, textvariable=var, width=8).grid(
             row=i // 3, column=(i % 3) * 2 + 1, sticky="w", padx=4)
 
+    # TPU-specific choice knobs (full Params parity with the CLI surface)
+    for j, (label, key, default, values, tip) in enumerate([
+        ("Decode quality", "decode_quality", "fast", ("fast", "exact"),
+         "fast: libav luma-only decode (validated at the funscript level); "
+         "exact: bit-identical to the cv2 decode chain."),
+        ("DIS preset", "dis_preset", "fast", ("ultrafast", "fast", "medium"),
+         "Speed/accuracy preset for the DIS backend (cv2 preset parity)."),
+        ("Signal chain", "signal_backend", "auto", ("auto", "host", "device"),
+         "Where the integration/detrend/normalize chain runs; auto routes "
+         "long clean signals to the device."),
+        ("Pallas kernels", "use_pallas", "auto", ("auto", "on", "off"),
+         "Fused Mosaic TPU kernels for flow hot ops; auto = on for TPU."),
+    ]):
+        ttk.Label(frm_adv, text=label).grid(row=2 + j // 2, column=(j % 2) * 2,
+                                            sticky="e")
+        var = tk.StringVar(value=default)
+        entries[key] = var
+        combo = ttk.Combobox(frm_adv, textvariable=var, values=values,
+                             state="readonly", width=10)
+        combo.grid(row=2 + j // 2, column=(j % 2) * 2 + 1, sticky="w", padx=4)
+        _add_tooltip(combo, tip)
+
     def current_settings() -> Params:
         return collect_settings({
-            "threads": entries["threads"].get(),
-            "detrend_window": entries["detrend_window"].get(),
-            "norm_window": entries["norm_window"].get(),
-            "batch_size": entries["batch_size"].get(),
-            "cut_threshold": entries["cut_threshold"].get(),
+            **{k: v.get() for k, v in entries.items()},
             "overwrite": v_ow.get(),
             "vr_mode": v_vr.get(),
             "pov_mode": v_pov.get(),
@@ -224,11 +251,8 @@ def launch() -> int:
         })
 
     def apply_settings(p: Params):
-        entries["threads"].set(str(p.threads))
-        entries["detrend_window"].set(str(p.detrend_window))
-        entries["norm_window"].set(str(p.norm_window))
-        entries["batch_size"].set(str(p.batch_size))
-        entries["cut_threshold"].set(str(p.cut_threshold))
+        for key in entries:
+            entries[key].set(str(getattr(p, key)))
         v_ow.set(p.overwrite)
         v_vr.set(p.vr_mode)
         v_pov.set(p.pov_mode)
@@ -236,7 +260,7 @@ def launch() -> int:
         v_backend.set(p.backend)
 
     cfgbar = ttk.Frame(frm_adv)
-    cfgbar.grid(row=2, column=0, columnspan=6, sticky="w", pady=2)
+    cfgbar.grid(row=4, column=0, columnspan=6, sticky="w", pady=2)
     ttk.Button(cfgbar, text="Save config",
                command=lambda: save_config(current_settings())).pack(side="left")
     ttk.Button(cfgbar, text="Load config",

@@ -214,6 +214,14 @@ class StreamingFlowAnalyzer:
         self._s = 0            # next pair index to emit
         self._n_frames = 0
         self._pending: list = []  # dispatched-but-unmaterialized device results
+        # Single-worker uploader: window assembly (np.stack, ~16 MB) + H2D
+        # device_put + program dispatch run off the caller's thread, so the
+        # caller returns to decode immediately instead of serializing
+        # 30-50 ms of upload per batch between decode pulls (the H2D-overlap
+        # gap measured in round 2). One worker => dispatches stay ordered.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
 
     def _frames_window(self, a: int, b: int, batch: int | None = None) -> np.ndarray:
         """Frames [a, b] (absolute), padded to the static program shape."""
@@ -248,15 +256,12 @@ class StreamingFlowAnalyzer:
             a = max(0, s - r)
             b = e + r if n_total is None else min(n_total, e + r)
             bucket = self._tail_bucket(e - s)
-            window = self._frames_window(a, b, bucket)
-            if self.device is not None:
-                win_dev = jax.device_put(window, self.device)
-                nv = jax.device_put(np.int32(b - a), self.device)
-            else:
-                win_dev = jnp.asarray(window)
-                nv = jnp.int32(b - a)
-            res = flow_chunk_program(win_dev, nv, self.cfg)
-            self._pending.append((res, [(None, s - a, e - a)]))
+            # snapshot the frame views now (cheap); stack + upload + dispatch
+            # happen on the uploader thread
+            i0, i1 = a - self._base, b - self._base + 1
+            views = self._buf[i0:i1]
+            fut = self._pool.submit(self._upload_and_run, views, bucket, b - a)
+            self._pending.append((fut, [(None, s - a, e - a)]))
         else:
             from ..parallel.dp import analyze_windows_sharded
 
@@ -281,10 +286,29 @@ class StreamingFlowAnalyzer:
             del self._buf[:drop]
             self._base += drop
 
+    def _upload_and_run(self, views: list, bucket: int, n_valid: int):
+        """Uploader-thread body: assemble the padded window, ship it to the
+        device, and enqueue the program. Returns the device result dict.
+        Runs strictly in dispatch order (single worker)."""
+        window = np.stack(views)
+        need = bucket + 2 * self.radius + 1
+        if window.shape[0] < need:
+            pad = np.repeat(window[-1:], need - window.shape[0], axis=0)
+            window = np.concatenate([window, pad], axis=0)
+        if self.device is not None:
+            win_dev = jax.device_put(window, self.device)
+            nv = jax.device_put(np.int32(n_valid), self.device)
+        else:
+            win_dev = jnp.asarray(window)
+            nv = jnp.int32(n_valid)
+        return flow_chunk_program(win_dev, nv, self.cfg)
+
     def _drain(self, keep: int) -> list:
         out = []
         while len(self._pending) > keep:
             res, segs = self._pending.pop(0)
+            if hasattr(res, "result"):
+                res = res.result()  # uploader future; re-raises its errors
             # one device_get for the whole dict: per-key np.asarray costs a
             # separate D2H round trip each (~140 ms/batch over the relay vs
             # ~40 ms batched — measured)
@@ -314,8 +338,15 @@ class StreamingFlowAnalyzer:
         while self._s < n_total:
             e = min(self._s + self.cfg.pair_batch * self._D, n_total)
             self._dispatch(e, n_total)
-        return self._drain(keep=0)
+        out = self._drain(keep=0)
+        self._pool.shutdown(wait=False)
+        return out
 
     @property
     def pairs_emitted(self) -> int:
         return self._s
+
+    @property
+    def n_devices(self) -> int:
+        """Devices each dispatch spans (1 unless a mesh shards windows)."""
+        return self._D

@@ -22,7 +22,7 @@ TPU-first design notes:
 * the only irregular op is the bilinear warp gather, isolated in
   ``_warp_bilinear`` so it can be swapped for a Pallas kernel.
 
-Matched OpenCV details (each verified against cv2 in tests/test_farneback.py):
+Matched OpenCV details (each verified against cv2 in tests/test_flow.py):
 
 * pyramid: per-level Gaussian smooth of the *full-res* image with
   ``sigma = (1/scale - 1) * 0.5``, ``ksize = rint(sigma*5) | 1`` (min 3),

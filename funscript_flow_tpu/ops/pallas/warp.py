@@ -68,11 +68,29 @@ def pack_warp_operand(planes):
 
 
 def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int,
-            n_planes: int):
+            n_planes: int, x_mode: str):
     """One (8, 128) output tile. ``h``/``w`` are the SOURCE plane dims (the
     clamp/piece bounds); the output grid may be a different shape — (u, v)
     are displacements from the output pixel's own (row, col), so absolute
-    sampling grids just pass ``coord - iota``."""
+    sampling grids just pass ``coord - iota``.
+
+    ``x_mode`` picks the lane-gather decomposition:
+
+    * ``"piece"``: one gather per 128-wide source piece, mask-combined —
+      w//128 gathers per plane per band step, unconditionally.
+    * ``"roll"``: rotate the row band left by the tile's min source column
+      (``tpu.dynamic_rotate``), so every needed column lands within the
+      first ``spread+1`` lanes; one gather almost always suffices (flow is
+      smooth — a tile's x-displacement spread rarely exceeds 127). Further
+      pieces run under ``lax.cond`` and are SKIPPED at run time unless the
+      spread actually crosses their boundary.
+
+    MEASURED (round 3, v5e, 240-pair Farnebäck batch): "piece" 159.4 ms,
+    "roll" 530.9 ms — the per-band-step dynamic lane rotations plus the
+    scalar ``cond`` cost ~3x more than the one gather they save, so "piece"
+    stays the default. "roll" is kept (bitwise-identical on TPU, tested)
+    as the documented negative result.
+    """
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -92,15 +110,52 @@ def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int,
     trip = jnp.max(dy_top) - dy_lo + 2     # +1 for the bottom corner row
 
     n_pieces = w // 128
-    piece_idx = []
-    piece_mask = []
-    for piece in range(n_pieces):
-        lo = piece * 128
-        piece_idx.append(jnp.clip(x0c - lo, 0, 127))
-        piece_mask.append((x0c >= lo) & (x0c < lo + 128)
-                          if n_pieces > 1 else None)
-
     zero = jnp.zeros((8, 128), jnp.float32)
+
+    if x_mode == "roll" and n_pieces > 1:
+        x_lo = jnp.min(x0c)                # rotate source so x_lo -> lane 0
+        spread = jnp.max(x0c) - x_lo
+        rel = x0c - x_lo                   # needed column, post-rotation
+        piece_idx = [jnp.clip(rel - p * 128, 0, 127) for p in range(n_pieces)]
+        piece_mask = [None if n_pieces == 1 else
+                      (rel >= p * 128) & (rel < p * 128 + 128)
+                      for p in range(n_pieces)]
+    else:
+        x_mode = "piece"
+        x_lo = None
+        piece_idx = [jnp.clip(x0c - p * 128, 0, 127) for p in range(n_pieces)]
+        piece_mask = [(x0c >= p * 128) & (x0c < p * 128 + 128)
+                      if n_pieces > 1 else None for p in range(n_pieces)]
+
+    def gather_pieces(rows, rowsx):
+        """(value, x+1-value) bilinear-x combine for one 8-row source band."""
+        if x_mode == "roll":
+            rows = pltpu.roll(rows, -x_lo, axis=1)
+            rowsx = pltpu.roll(rowsx, -x_lo, axis=1)
+
+        def piece_val(piece):
+            op = rows[:, piece * 128:(piece + 1) * 128]
+            opx = rowsx[:, piece * 128:(piece + 1) * 128]
+            g = jnp.take_along_axis(op, piece_idx[piece], axis=1)
+            gx = jnp.take_along_axis(opx, piece_idx[piece], axis=1)
+            val = g * (1.0 - wx) + gx * wx
+            if piece_mask[piece] is None:
+                return val
+            return jnp.where(piece_mask[piece], val, 0.0)
+
+        vx = piece_val(0)
+        for piece in range(1, n_pieces):
+            if x_mode == "roll":
+                # almost-always-skipped branch: only tiles whose x spread
+                # crosses piece*128 pay for this gather
+                vx = jax.lax.cond(
+                    spread >= piece * 128,
+                    lambda vx=vx, piece=piece: vx + piece_val(piece),
+                    lambda vx=vx: vx,
+                )
+            else:
+                vx = vx + piece_val(piece)
+        return vx
 
     def body(k, acc):
         acc_top, acc_bot = acc
@@ -113,19 +168,9 @@ def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int,
         new_top = []
         new_bot = []
         for p in range(n_planes):
-            rows = pltpu.roll(r_ref[0, p, pl.ds(base, 16), :], -off, axis=0)
-            rowsx = pltpu.roll(rx_ref[0, p, pl.ds(base, 16), :], -off, axis=0)
-            vx = zero
-            for piece in range(n_pieces):
-                op = rows[:8, piece * 128:(piece + 1) * 128]
-                opx = rowsx[:8, piece * 128:(piece + 1) * 128]
-                g = jnp.take_along_axis(op, piece_idx[piece], axis=1)
-                gx = jnp.take_along_axis(opx, piece_idx[piece], axis=1)
-                val = g * (1.0 - wx) + gx * wx
-                if piece_mask[piece] is None:
-                    vx = val
-                else:
-                    vx = vx + jnp.where(piece_mask[piece], val, 0.0)
+            rows = pltpu.roll(r_ref[0, p, pl.ds(base, 16), :], -off, axis=0)[:8]
+            rowsx = pltpu.roll(rx_ref[0, p, pl.ds(base, 16), :], -off, axis=0)[:8]
+            vx = gather_pieces(rows, rowsx)
             new_top.append(acc_top[p] + jnp.where(m_top, vx, 0.0))
             new_bot.append(acc_bot[p] + jnp.where(m_bot, vx, 0.0))
         return tuple(new_top), tuple(new_bot)
@@ -136,24 +181,26 @@ def _kernel(r_ref, rx_ref, u_ref, v_ref, out_ref, *, h: int, w: int,
         out_ref[0, p] = acc_top[p] * (1.0 - wy) + acc_bot[p] * wy
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "x_mode"))
 def warp_bilinear_pallas(r_pad: jax.Array, rx_pad: jax.Array,
                          u: jax.Array, v: jax.Array,
-                         interpret: bool = False):
+                         interpret: bool = False, x_mode: str = "piece"):
     """Warp P packed planes by (u, v); returns [B, P, Ho, Wo] float32.
 
     r_pad/rx_pad come from :func:`pack_warp_operand`. (u, v) give each
     output pixel's displacement from its own (row, col); the output grid
     (u.shape) may differ from the source plane shape (absolute-grid
     sampling). The caller applies the out-of-bounds mask (same contract as
-    ops.farneback._warp_bilinear).
+    ops.farneback._warp_bilinear). ``x_mode`` (see ``_kernel``): "roll"
+    (dynamic lane rotation, one gather per band step in the common case) or
+    "piece" (unconditional per-piece gathers).
     """
     B, P, hp, w = r_pad.shape
     h = hp - 2 * _PAD
     ho, wo = u.shape[1], u.shape[2]
     assert warp_supported(ho, wo) and w % 128 == 0, (B, P, h, w, ho, wo)
     return pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, n_planes=P),
+        functools.partial(_kernel, h=h, w=w, n_planes=P, x_mode=x_mode),
         grid=(B, ho // 8, wo // 128),
         in_specs=[
             pl.BlockSpec((1, P, hp, w), lambda b, i, j: (b, 0, 0, 0)),
@@ -177,7 +224,8 @@ def _pad_w(x: jax.Array, wpad: int) -> jax.Array:
 
 
 def warp_planes_padded(planes, u: jax.Array, v: jax.Array,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       x_mode: str = "piece") -> jax.Array:
     """Relative bilinear warp of [B, H, W] planes -> [B, P, H, W] via the
     band kernel, edge-padding W to lane alignment (H must be 8-aligned).
 
@@ -195,13 +243,14 @@ def warp_planes_padded(planes, u: jax.Array, v: jax.Array,
         u = _pad_w(u, wpad)
         v = _pad_w(v, wpad)
     r_pad, rx_pad = pack_warp_operand(planes)
-    out = warp_bilinear_pallas(r_pad, rx_pad, u, v, interpret=interpret)
+    out = warp_bilinear_pallas(r_pad, rx_pad, u, v, interpret=interpret,
+                               x_mode=x_mode)
     return out[..., :W] if wpad else out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "x_mode"))
 def sample_abs_pallas(img: jax.Array, fy: jax.Array, fx: jax.Array,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False, x_mode: str = "piece") -> jax.Array:
     """Bilinear-sample ``img`` [B, h, w] at absolute coords [B, Ho, Wo].
 
     Coords must satisfy ``0 <= fy <= h-1``, ``0 <= fx <= w-1`` (the callers
@@ -227,5 +276,5 @@ def sample_abs_pallas(img: jax.Array, fy: jax.Array, fx: jax.Array,
     ys = jax.lax.broadcasted_iota(jnp.float32, (Hop, Wop), 0)[None]
     xs = jax.lax.broadcasted_iota(jnp.float32, (Hop, Wop), 1)[None]
     out = warp_bilinear_pallas(r_pad, rx_pad, fxp - xs, fyp - ys,
-                               interpret=interpret)
+                               interpret=interpret, x_mode=x_mode)
     return out[:, 0, :Ho, :Wo]

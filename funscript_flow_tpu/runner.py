@@ -52,14 +52,19 @@ def _bucket_length(n: int, minimum: int = 256) -> int:
 
 
 def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
-                    log_func=lambda m: None):
+                    log_func=lambda m: None, mesh=None):
     """Whole-video signal chain -> funscript actions.
 
     Window sizes derive from the effective fps (reference :1287, :1335).
     ``signal_backend='auto'`` runs the chain on the exact host path except
     for very long signals (>= AUTO_DEVICE_MIN_SAMPLES) that are clean of
     the cases the static-shape device path doesn't cover (cumulative-flow
-    discontinuities — see ops.signal docstring).
+    discontinuities — see ops.signal docstring). When a multi-device
+    ``mesh`` is active, those long clean signals run the *distributed*
+    time-axis-sharded chain (parallel.signal_sp) instead of one device —
+    the flow windows were already sharded over the mesh, so the signal
+    chain riding the same mesh keeps the whole video on-device end to end
+    (SURVEY.md §2.4 SP row).
     """
     n = len(dots)
     detrend_win = int(params.detrend_window * effective_fps)
@@ -76,11 +81,26 @@ def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
             backend = "host"
         else:
             cum = signal_host.integrate_flow(dots, cuts)
-            backend = "host" if (
-                np.abs(np.diff(cum)) > DISCONTINUITY_THRESHOLD
-            ).any() else "device"
+            clean = not (np.abs(np.diff(cum)) > DISCONTINUITY_THRESHOLD).any()
+            if not clean:
+                backend = "host"
+            elif mesh is not None and int(mesh.devices.size) > 1 \
+                    and n > detrend_win:
+                backend = "sharded"
+            else:
+                backend = "device"
 
-    if backend == "device":
+    if backend == "sharded":
+        from .parallel.signal_sp import signal_chain_sharded
+
+        log_func(f"Signal chain: time-axis sharded over "
+                 f"{int(mesh.devices.size)} devices ({n} samples).")
+        norm, mask = signal_chain_sharded(
+            np.asarray(dots, np.float32), np.asarray(cuts, bool), mesh,
+            detrend_win, norm_win)
+        norm = np.asarray(norm, dtype=np.float64)
+        keep = np.asarray(mask)
+    elif backend == "device":
         import jax.numpy as jnp
 
         P = _bucket_length(n)
@@ -92,27 +112,29 @@ def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
             jnp.asarray(dpad), jnp.asarray(cpad), jnp.int32(n), detrend_win, norm_win
         )
         norm = np.asarray(norm, dtype=np.float64)[:n]
-        if params.keyframe_reduction:
-            idx = list(np.nonzero(np.asarray(mask)[:n])[0])
-            if n == 1:
-                idx = [0, 0]  # reference quirk (:1367,:1374)
-        else:
-            idx = range(n)
-        actions = []
-        for ki in idx:
-            try:
-                actions.append({
-                    "at": int((time_stamps[ki] / fps) * 1000),
-                    "pos": 100 - int(round(norm[ki])),
-                })
-            except Exception as e:
-                log_func(f"Error computing action at segment index {ki}: {e}")
-        return actions, norm
+        keep = np.asarray(mask)[:n]
     else:
         return signal_host.signal_chain(
             dots, cuts, time_stamps, fps, detrend_win, norm_win,
             params.keyframe_reduction,
         )[0:2]
+
+    if params.keyframe_reduction:
+        idx = list(np.nonzero(keep)[0])
+        if n == 1:
+            idx = [0, 0]  # reference quirk (:1367,:1374)
+    else:
+        idx = range(n)
+    actions = []
+    for ki in idx:
+        try:
+            actions.append({
+                "at": int((time_stamps[ki] / fps) * 1000),
+                "pos": 100 - int(round(norm[ki])),
+            })
+        except Exception as e:
+            log_func(f"Error computing action at segment index {ki}: {e}")
+    return actions, norm
 
 
 def _detect_native(params: Params, log_func):
@@ -133,6 +155,21 @@ def _detect_native(params: Params, log_func):
     return None
 
 
+def _decode_shards(params: Params) -> int:
+    """Decode shard count: ``threads`` clamped to host cores (more shards
+    than cores only adds seek + contention). ``FF_TPU_FORCE_SHARDS=N``
+    overrides the clamp — the escape hatch for measuring shard scaling on
+    a box whose cgroup/core accounting confuses os.cpu_count (VERDICT r2
+    asked for a way to produce a real shards-vs-throughput number)."""
+    force = os.environ.get("FF_TPU_FORCE_SHARDS")
+    if force:
+        try:
+            return max(1, int(force))
+        except ValueError:
+            pass
+    return min(params.threads, os.cpu_count() or 1)
+
+
 def _open_video(video_path, params: Params, cancel_flag, log_func):
     """One-open video setup: (meta, source), source None on hard error.
 
@@ -145,7 +182,7 @@ def _open_video(video_path, params: Params, cancel_flag, log_func):
     native_rt = _detect_native(params, log_func)
     if params.use_native_decode == "on" and native_rt is None:
         return None, None
-    shards = min(params.threads, os.cpu_count() or 1)
+    shards = _decode_shards(params)
     if native_rt is not None and shards <= 1:
         src = native_rt.NativeFrameSource(
             video_path, None, params.vr_mode, depth=params.batch_size,
@@ -184,8 +221,7 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func):
         )
 
     n_samples = len(meta.sampled_indices)
-    # more decode shards than host cores only adds seek + contention
-    shards = min(params.threads, os.cpu_count() or 1)
+    shards = _decode_shards(params)
     if shards > 1:
         return iodec.ShardedFrameSource(
             factory, n_samples, shards, depth=params.batch_size, gray=True
@@ -323,7 +359,11 @@ def process_video(video_path: str, params: Params, log_func,
     # until TWO windows of frames had decoded (239 pairs < 246 needed);
     # pulling the halo along with the first chunk lets window 0 dispatch as
     # soon as it exists, fully overlapping device compute with decode.
-    pull = cfg.pair_batch * max(1, params.mesh)
+    # Scaled by the analyzer's ACTUAL device count, not params.mesh: in the
+    # video-level-DP folder mode the analyzer is single-device (mesh=None,
+    # device pinned) and a mesh-sized pull would block until mesh*pair_batch
+    # frames decoded — serializing decode before the first dispatch.
+    pull = cfg.pair_batch * analyzer.n_devices
     next_pull = pull + 2 * analyzer.radius + 1
     try:
         with profile_trace(params.profile_dir or None):
@@ -359,7 +399,8 @@ def process_video(video_path: str, params: Params, log_func,
 
     error_occurred = False
     actions, _norm = compute_actions(
-        dots, cuts, time_stamps, meta.fps, meta.effective_fps, params, log_func
+        dots, cuts, time_stamps, meta.fps, meta.effective_fps, params,
+        log_func, mesh=mesh,
     )
     log_func(f"Keyframe reduction: {len(actions)} actions computed.")
     try:
@@ -381,18 +422,37 @@ def process_video(video_path: str, params: Params, log_func,
 
 
 def _run_videos_parallel(files, params: Params, log_func,
-                         progress_callback, n_workers: int) -> bool:
+                         progress_callback, n_workers: int,
+                         cancel_flag=None,
+                         video_progress_callback=None) -> bool:
     """Video-level data parallelism: round-robin videos over the first
     ``n_workers`` devices (SURVEY.md §2.4: folder mode = many clips feeding
     one mesh; the reference's sequential per-file loop :1633 becomes one
     video per chip). Each worker pins all its device work to its own chip
-    via committed inputs; per-video logs are buffered and flushed whole
-    under a lock, so run.log stays grouped per video like the sequential
-    path. Funscript outputs are identical to the sequential runner's
-    (per-video processing is independent; tested on the virtual CPU mesh).
+    via committed inputs.
+
+    Run-control parity with the sequential path (reference
+    :1146-1148,1217-1253):
+
+    * log lines stream live under a lock, tagged ``[devK]`` so interleaved
+      workers stay readable (run.log is no longer grouped per video — the
+      tag carries the grouping);
+    * ``cancel_flag`` is polled between device batches inside each worker's
+      ``process_video`` AND before dequeuing the next video;
+    * overall progress counts fractional per-video progress of every active
+      worker, and ``video_progress_callback(video_path, pct)`` exposes the
+      per-video level.
+
+    Workers are exception-guarded: a crash in one video logs the traceback,
+    marks the batch errored, and moves on to the next queued video (per-video
+    isolation, same as the sequential path's semantics).
+
+    Funscript outputs are identical to the sequential runner's (per-video
+    processing is independent; tested on the virtual CPU mesh).
     """
     import queue
     import threading
+    import traceback
 
     import jax
 
@@ -402,25 +462,53 @@ def _run_videos_parallel(files, params: Params, log_func,
         work.put(item)
     lock = threading.Lock()
     state = {"err": False, "done": 0}
+    frac = [0.0] * len(devices)  # active video's fraction, per worker
 
-    def worker(dev):
+    def overall_pct_locked():
+        return min(100, int(100 * (state["done"] + sum(frac)) / len(files)))
+
+    def worker(wid, dev):
+        tag = f"[dev{wid}] " if len(devices) > 1 else ""
+
+        def wlog(msg):
+            with lock:
+                log_func(tag + msg)
+
         while True:
+            if cancel_flag is not None and cancel_flag():
+                return
             try:
                 i, video = work.get_nowait()
             except queue.Empty:
                 return
-            lines = [STRINGS["processing_file"].format(
-                current=i + 1, total=len(files), video_path=video)]
-            err = process_video(video, params, lines.append, device=dev)
+
+            def vprog(pct, _video=video):
+                with lock:
+                    frac[wid] = pct / 100.0
+                    if video_progress_callback is not None:
+                        video_progress_callback(_video, pct)
+                    if progress_callback is not None:
+                        progress_callback(overall_pct_locked())
+
+            wlog(STRINGS["processing_file"].format(
+                current=i + 1, total=len(files), video_path=video))
+            try:
+                err = process_video(video, params, wlog, device=dev,
+                                    progress_callback=vprog,
+                                    cancel_flag=cancel_flag)
+            except Exception:
+                wlog(STRINGS["log_error"].format(
+                    error=traceback.format_exc()))
+                err = True
             with lock:
                 state["err"] |= err
-                for ln in lines:
-                    log_func(ln)
                 state["done"] += 1
+                frac[wid] = 0.0
                 if progress_callback is not None:
-                    progress_callback(int(100 * state["done"] / len(files)))
+                    progress_callback(overall_pct_locked())
 
-    threads = [threading.Thread(target=worker, args=(d,)) for d in devices]
+    threads = [threading.Thread(target=worker, args=(i, d))
+               for i, d in enumerate(devices)]
     for t in threads:
         t.start()
     for t in threads:
@@ -429,13 +517,20 @@ def _run_videos_parallel(files, params: Params, log_func,
 
 
 def run_headless(input_path: str, params: Params, log_path: str = "run.log",
-                 progress_callback=None) -> bool:
+                 progress_callback=None, cancel_flag=None,
+                 video_progress_callback=None) -> bool:
     """Folder/file batch runner with run.log tee (reference :2606-2638).
 
     With ``--mesh N`` and more than one input file, videos round-robin over
     N devices (one per chip) instead of sharding each video's windows —
     whole-clip DP utilizes the mesh better than window DP when the folder
     is the workload (SURVEY.md §2.4).
+
+    ``cancel_flag`` (nullary -> bool) is polled between device batches and
+    between videos on both the sequential and the parallel path;
+    ``video_progress_callback(video_path, pct)`` reports per-video progress
+    (parallel path; the sequential path reports it through
+    ``progress_callback`` as before).
     """
     logf = open(log_path, "w")
 
@@ -454,7 +549,9 @@ def run_headless(input_path: str, params: Params, log_path: str = "run.log",
         n_workers = min(params.mesh or 1, len(files))
         if n_workers > 1:
             any_error = _run_videos_parallel(
-                files, params, log_func, progress_callback, n_workers)
+                files, params, log_func, progress_callback, n_workers,
+                cancel_flag=cancel_flag,
+                video_progress_callback=video_progress_callback)
             log_func(STRINGS["batch_processing_complete"])
             return any_error
 
@@ -474,6 +571,11 @@ def run_headless(input_path: str, params: Params, log_path: str = "run.log",
         try:
             for idx, video in enumerate(files):
                 this_pre, pre = pre, None
+                if cancel_flag is not None and cancel_flag():
+                    if this_pre is not None:
+                        this_pre[1].close()
+                    log_func(STRINGS["cancelled_by_user"])
+                    break
                 if idx + 1 < len(files):
                     pre = prepare(files[idx + 1])
                 log_func(STRINGS["processing_file"].format(
@@ -481,6 +583,7 @@ def run_headless(input_path: str, params: Params, log_path: str = "run.log",
                 any_error |= process_video(
                     video, params, log_func,
                     progress_callback=progress_callback, preopened=this_pre,
+                    cancel_flag=cancel_flag,
                 )
         finally:
             if pre is not None:

@@ -16,7 +16,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "build", "NativeFrameSource"]
+__all__ = ["available", "build", "NativeFrameSource", "VideoEncoder"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libframe_pump.so")
@@ -49,30 +49,55 @@ def _load():
             build()
         if not os.path.exists(_SO):
             return None
-        lib = ctypes.CDLL(_SO)
-        lib.fp_open.restype = ctypes.c_void_p
-        lib.fp_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
-        lib.fp_open_range.restype = ctypes.c_void_p
-        lib.fp_open_range.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_longlong,
-                                      ctypes.c_longlong, ctypes.c_int]
-        lib.fp_open_v2.restype = ctypes.c_void_p
-        lib.fp_open_v2.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                                   ctypes.c_int, ctypes.c_longlong,
-                                   ctypes.c_longlong, ctypes.c_int, ctypes.c_int]
-        lib.fp_is_fast.restype = ctypes.c_int
-        lib.fp_is_fast.argtypes = [ctypes.c_void_p]
-        lib.fp_step.restype = ctypes.c_int
-        lib.fp_step.argtypes = [ctypes.c_void_p]
-        lib.fp_meta.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
-                                ctypes.POINTER(ctypes.c_longlong),
-                                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-        lib.fp_next_batch.restype = ctypes.c_int
-        lib.fp_next_batch.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
-        lib.fp_cancel.argtypes = [ctypes.c_void_p]
-        lib.fp_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
+        try:
+            _lib = _bind(ctypes.CDLL(_SO))
+        except AttributeError:
+            # stale .so from an older source revision (symbol missing): make
+            # is timestamp-based so a rebuild is cheap and picks up the
+            # current ABI; report unavailable rather than raise if it fails
+            _lib = None
+            if not _build_attempted:
+                _build_attempted = True
+                if build():
+                    try:
+                        _lib = _bind(ctypes.CDLL(_SO))
+                    except AttributeError:
+                        _lib = None
         return _lib
+
+
+def _bind(lib):
+    """Declare the C ABI; raises AttributeError if the .so predates it."""
+    lib.fp_open.restype = ctypes.c_void_p
+    lib.fp_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fp_open_range.restype = ctypes.c_void_p
+    lib.fp_open_range.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_longlong,
+                                  ctypes.c_longlong, ctypes.c_int]
+    lib.fp_open_v2.restype = ctypes.c_void_p
+    lib.fp_open_v2.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int, ctypes.c_longlong,
+                               ctypes.c_longlong, ctypes.c_int, ctypes.c_int]
+    lib.fp_is_fast.restype = ctypes.c_int
+    lib.fp_is_fast.argtypes = [ctypes.c_void_p]
+    lib.fp_step.restype = ctypes.c_int
+    lib.fp_step.argtypes = [ctypes.c_void_p]
+    lib.fp_meta.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+                            ctypes.POINTER(ctypes.c_longlong),
+                            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.fp_next_batch.restype = ctypes.c_int
+    lib.fp_next_batch.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.fp_cancel.argtypes = [ctypes.c_void_p]
+    lib.fp_close.argtypes = [ctypes.c_void_p]
+    lib.fe_open.restype = ctypes.c_void_p
+    lib.fe_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                            ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+                            ctypes.c_int, ctypes.c_int]
+    lib.fe_write.restype = ctypes.c_int
+    lib.fe_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.fe_close.restype = ctypes.c_longlong
+    lib.fe_close.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 def available() -> bool:
@@ -156,3 +181,72 @@ class NativeFrameSource:
             self.close()
         except Exception:
             pass
+
+
+class VideoEncoder:
+    """Native h264/mpeg4 clip writer (encoder.cpp) for bench + fixtures.
+
+    The OpenCV build on TPU hosts has no h264 encoder, but real libraries
+    are long-GOP h264 (the reference's decode hot spot,
+    FunscriptFlow.pyw:177-189) — this writes representative content through
+    the system libavcodec. ``codec='libx264'`` with a long GOP and B-frames
+    by default; falls back are the caller's choice (``encoder_available``).
+    """
+
+    def __init__(self, path: str, w: int, h: int, fps: float,
+                 codec: str = "libx264", gop: int = 250, bframes: int = 3):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libframe_pump.so not available (build failed)")
+        self._lib = lib
+        from fractions import Fraction
+
+        fr = Fraction(fps).limit_denominator(1001)
+        self._h = lib.fe_open(path.encode(), int(w), int(h),
+                              fr.numerator, fr.denominator,
+                              codec.encode(), int(gop), int(bframes))
+        if not self._h:
+            raise IOError(f"Cannot open encoder {codec} for {path}")
+        self._shape = (h, w, 3)
+
+    def write(self, bgr: np.ndarray) -> None:
+        """One BGR24 uint8 frame of shape [h, w, 3] (C-contiguous)."""
+        assert bgr.shape == self._shape and bgr.dtype == np.uint8
+        bgr = np.ascontiguousarray(bgr)
+        if not self._lib.fe_write(self._h, bgr.ctypes.data_as(ctypes.c_void_p)):
+            raise IOError("encode failed")
+
+    def close(self) -> int:
+        if self._h:
+            n = int(self._lib.fe_close(self._h))
+            self._h = None
+            return n
+        return 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def encoder_available(codec: str = "libx264") -> bool:
+    """True when the native encoder can open ``codec`` (probed cheaply)."""
+    import tempfile
+
+    lib = _load()
+    if lib is None:
+        return False
+    with tempfile.TemporaryDirectory() as d:
+        h = lib.fe_open(os.path.join(d, "p.mp4").encode(), 64, 64, 30, 1,
+                        codec.encode(), 0, -1)
+        if not h:
+            return False
+        lib.fe_close(h)
+    return True

@@ -1,0 +1,168 @@
+// Native video encoder — h264 (libx264) fixture/bench-clip generation.
+//
+// The TPU framework's real workload is long-GOP h264 content (the
+// reference's decode hot spot, FunscriptFlow.pyw:177-189), but the OpenCV
+// build on TPU hosts ships no h264 encoder, so neither the benchmark nor
+// the test suite could produce a representative clip. This tiny encoder
+// wraps the system libavcodec's libx264 (falling back to mpeg4) behind a
+// C ABI so bench.py and tests generate h264 fixtures natively:
+//
+//   fe_open(path, w, h, fps_num, fps_den, codec, gop, bframes)
+//   fe_write(handle, bgr24_frame)   // one frame, BGR24 row-major
+//   fe_close(handle)                // flush + trailer; returns frames written
+//
+// Encoding quality knobs are fixed at "representative content" settings
+// (x264 veryfast, CRF 23) — this is test/bench infrastructure, not a
+// production export path.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstring>
+
+namespace {
+
+struct Encoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* ctx = nullptr;
+  AVStream* st = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frm = nullptr;
+  AVPacket* pkt = nullptr;
+  int w = 0, h = 0;
+  long long n_in = 0;
+  bool header_written = false;
+
+  ~Encoder() { release(); }
+
+  void release() {
+    if (sws) { sws_freeContext(sws); sws = nullptr; }
+    if (frm) av_frame_free(&frm);
+    if (pkt) av_packet_free(&pkt);
+    if (ctx) avcodec_free_context(&ctx);
+    if (fmt) {
+      if (fmt->pb) avio_closep(&fmt->pb);
+      avformat_free_context(fmt);
+      fmt = nullptr;
+    }
+  }
+
+  bool drain_packets() {
+    while (true) {
+      int r = avcodec_receive_packet(ctx, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return true;
+      if (r < 0) return false;
+      // One frame per packet: without an explicit duration the mp4 muxer
+      // leaves the last frame out of the track duration, and probes then
+      // report fps * n/(n-1) (e.g. 30.1 for a 300-frame 30 fps clip) —
+      // enough to flip step=ceil(fps/30) from 1 to 2.
+      if (pkt->duration == 0) pkt->duration = 1;
+      av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      if (av_interleaved_write_frame(fmt, pkt) < 0) return false;
+    }
+  }
+
+  bool open(const char* path, int width, int height, int fps_num, int fps_den,
+            const char* codec_name, int gop, int bframes) {
+    w = width;
+    h = height;
+    if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0)
+      return false;
+    const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) return false;
+    st = avformat_new_stream(fmt, nullptr);
+    ctx = avcodec_alloc_context3(codec);
+    if (!st || !ctx) return false;
+    ctx->width = w;
+    ctx->height = h;
+    ctx->time_base = AVRational{fps_den, fps_num};
+    ctx->framerate = AVRational{fps_num, fps_den};
+    ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    ctx->gop_size = gop > 0 ? gop : 250;
+    ctx->max_b_frames = bframes >= 0 ? bframes : 3;
+    if (std::strcmp(codec_name, "libx264") == 0) {
+      av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
+      av_opt_set(ctx->priv_data, "crf", "23", 0);
+    }
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(ctx, codec, nullptr) < 0) return false;
+    if (avcodec_parameters_from_context(st->codecpar, ctx) < 0) return false;
+    st->time_base = ctx->time_base;
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+      return false;
+    if (avformat_write_header(fmt, nullptr) < 0) return false;
+    header_written = true;
+    frm = av_frame_alloc();
+    pkt = av_packet_alloc();
+    if (!frm || !pkt) return false;
+    frm->format = AV_PIX_FMT_YUV420P;
+    frm->width = w;
+    frm->height = h;
+    if (av_frame_get_buffer(frm, 0) < 0) return false;
+    sws = sws_getContext(w, h, AV_PIX_FMT_BGR24, w, h, AV_PIX_FMT_YUV420P,
+                         SWS_BILINEAR, nullptr, nullptr, nullptr);
+    return sws != nullptr;
+  }
+
+  bool write(const unsigned char* bgr) {
+    if (av_frame_make_writable(frm) < 0) return false;
+    const uint8_t* src[4] = {bgr, nullptr, nullptr, nullptr};
+    int src_ls[4] = {3 * w, 0, 0, 0};
+    sws_scale(sws, src, src_ls, 0, h, frm->data, frm->linesize);
+    frm->pts = n_in++;
+    if (avcodec_send_frame(ctx, frm) < 0) return false;
+    return drain_packets();
+  }
+
+  long long close_file() {
+    long long n = n_in;
+    if (ctx && header_written) {
+      avcodec_send_frame(ctx, nullptr);  // flush
+      drain_packets();
+      av_write_trailer(fmt);
+    }
+    release();
+    return n;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns a handle, or null. codec: "libx264" | "mpeg4" | any libavcodec
+// encoder name. gop <= 0 -> 250 (long GOP); bframes < 0 -> 3.
+void* fe_open(const char* path, int w, int h, int fps_num, int fps_den,
+              const char* codec, int gop, int bframes) {
+  av_log_set_level(AV_LOG_ERROR);
+  auto* e = new Encoder();
+  if (!e->open(path, w, h, fps_num, fps_den, codec, gop, bframes)) {
+    delete e;
+    return nullptr;
+  }
+  return e;
+}
+
+// One BGR24 frame (h rows of 3*w bytes). Returns 1 on success.
+int fe_write(void* handle, const unsigned char* bgr) {
+  return static_cast<Encoder*>(handle)->write(bgr) ? 1 : 0;
+}
+
+// Flush, write trailer, free. Returns frames written (<0 on null handle).
+long long fe_close(void* handle) {
+  auto* e = static_cast<Encoder*>(handle);
+  if (!e) return -1;
+  long long n = e->close_file();
+  delete e;
+  return n;
+}
+
+}  // extern "C"

@@ -60,15 +60,74 @@ constexpr int kVrSize = 512;    // VR: resize 512, crop bottom-left quadrant
 // ---------------------------------------------------------------------------
 // FAST engine: libav decode tuned for "256x256 gray is all we need".
 // ---------------------------------------------------------------------------
+// cv2-exact fixed-point bilinear resize plan: precomputed per-axis sample
+// positions + short coefficients (INTER_RESIZE_COEF_SCALE = 2048), matching
+// OpenCV's 8U INTER_LINEAR path bit-for-bit (hresize int accumulate, then
+// the (((b0*(r0>>4))>>16) + ((b1*(r1>>4))>>16) + 2) >> 2 vertical combine).
+struct ResizePlan {
+  int sw = 0, sh = 0;          // source (crop) dims the plan was built for
+  int sx[kOutSize];
+  short a0[kOutSize], a1[kOutSize];
+  int sy[kOutSize];
+  short b0[kOutSize], b1[kOutSize];
+
+  static void axis(int n_src, int* s, short* c0, short* c1) {
+    const double scale = (double)n_src / kOutSize;
+    for (int d = 0; d < kOutSize; d++) {
+      double f = (d + 0.5) * scale - 0.5;
+      int si = (int)std::floor(f);
+      f -= si;
+      if (si < 0) { si = 0; f = 0.0; }
+      if (si >= n_src - 1) {
+        si = n_src >= 2 ? n_src - 2 : 0;
+        f = n_src >= 2 ? 1.0 : 0.0;
+      }
+      s[d] = si;
+      c0[d] = (short)std::lrint((1.0 - f) * 2048.0);
+      c1[d] = (short)std::lrint(f * 2048.0);
+    }
+  }
+
+  void build(int n_sw, int n_sh) {
+    sw = n_sw;
+    sh = n_sh;
+    axis(sw, sx, a0, a1);
+    axis(sh, sy, b0, b1);
+  }
+
+  // src: crop origin pointer, ``stride`` bytes/row; ``lut`` applied to the
+  // four samples BEFORE interpolation (cv2's exact path range-expands per
+  // source pixel, then resizes — same order).
+  void run(const unsigned char* src, int stride, const unsigned char* lut,
+           unsigned char* out) const {
+    int row0[kOutSize], row1[kOutSize];
+    for (int dy = 0; dy < kOutSize; dy++) {
+      const unsigned char* s0 = src + (size_t)sy[dy] * stride;
+      const unsigned char* s1 = s0 + (sh >= 2 ? stride : 0);
+      for (int dx = 0; dx < kOutSize; dx++) {
+        const int x0 = sx[dx], x1 = sw >= 2 ? x0 + 1 : x0;
+        row0[dx] = lut[s0[x0]] * a0[dx] + lut[s0[x1]] * a1[dx];
+        row1[dx] = lut[s1[x0]] * a0[dx] + lut[s1[x1]] * a1[dx];
+      }
+      const int bb0 = b0[dy], bb1 = b1[dy];
+      unsigned char* o = out + (size_t)dy * kOutSize;
+      for (int dx = 0; dx < kOutSize; dx++) {
+        o[dx] = (unsigned char)((((bb0 * (row0[dx] >> 4)) >> 16) +
+                                 ((bb1 * (row1[dx] >> 4)) >> 16) + 2) >> 2);
+      }
+    }
+  }
+};
+
 struct LavDecoder {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* ctx = nullptr;
   const AVCodec* codec = nullptr;
-  SwsContext* sws = nullptr;
   AVPacket* pkt = nullptr;
   AVFrame* frm = nullptr;
   int vs = -1;
   AVRational tb{1, 1};
+  AVRational frame_rate{0, 1};
   double fps = 0.0;
   long long total_frames = 0;
   int src_w = 0, src_h = 0;
@@ -77,16 +136,27 @@ struct LavDecoder {
   bool draining = false;
   unsigned char lut[256];
   bool use_lut = false;
-  int sws_src_w = 0, sws_src_h = 0, sws_src_off_y = 0;
+  ResizePlan plan;
+  // Grid-aware frame skipping: when set (step > 1), packets whose pts maps
+  // off the sampling grid decode with skip_frame = AVDISCARD_NONREF — the
+  // decoder drops them outright when they're not reference frames (h264
+  // B-frames: ~half of typical long-GOP content, at near-zero cost), and
+  // still decodes them when later frames depend on them. Grid packets
+  // always decode (AVDISCARD_DEFAULT), so emitted frames are unaffected.
+  int skip_step = 1;
+  long long skip_first = 0;
 
   ~LavDecoder() { close(); }
 
   void close() {
-    if (sws) { sws_freeContext(sws); sws = nullptr; }
     if (frm) av_frame_free(&frm);
     if (pkt) av_packet_free(&pkt);
     if (ctx) avcodec_free_context(&ctx);
     if (fmt) avformat_close_input(&fmt);
+  }
+
+  long long pts_to_index(int64_t ts) const {
+    return std::llround((ts - stream_start) * av_q2d(tb) * fps);
   }
 
   bool open(const char* path, bool vr_mode) {
@@ -115,7 +185,7 @@ struct LavDecoder {
     ctx->lowres = k;
     ctx->flags |= AV_CODEC_FLAG_GRAY;           // skip chroma decode
     ctx->flags2 |= AV_CODEC_FLAG2_FAST;
-    ctx->skip_loop_filter = AVDISCARD_ALL;      // fast mode trades exactness
+    ctx->skip_loop_filter = AVDISCARD_DEFAULT;      // fast mode trades exactness
     unsigned hc = std::thread::hardware_concurrency();
     ctx->thread_count = static_cast<int>(std::min(4u, hc ? hc : 1u));
     if (avcodec_open2(ctx, codec, nullptr) < 0) return false;
@@ -124,6 +194,7 @@ struct LavDecoder {
     stream_start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
     AVRational fr = st->avg_frame_rate;
     if (fr.num <= 0 || fr.den <= 0) fr = av_guess_frame_rate(fmt, st, nullptr);
+    frame_rate = fr;
     fps = (fr.num > 0 && fr.den > 0) ? av_q2d(fr) : 0.0;
     total_frames = st->nb_frames;
     if (total_frames <= 0 && fps > 0 && fmt->duration > 0) {
@@ -149,8 +220,14 @@ struct LavDecoder {
   // (callers keep skipping until the index matches their sampling grid).
   bool seek_to(long long target) {
     if (target <= 0) return true;
-    const int64_t ts =
-        stream_start + av_rescale(target, tb.den, (int64_t)std::llround(fps * tb.num));
+    // Exact rational rescale, rounded DOWN: frame i's timestamp is
+    // i * (1/frame_rate) in tb units. llround(fps * tb.num) could round the
+    // denominator down for non-broadcast rates (~12.3 fps), overshooting the
+    // target so AVSEEK_FLAG_BACKWARD lands past it and the range shard
+    // silently emits later frames. Rounding down at worst lands one frame
+    // early, which the decode-skip loop absorbs.
+    const int64_t ts = stream_start + av_rescale_q_rnd(
+        target, av_inv_q(frame_rate), tb, AV_ROUND_DOWN);
     if (av_seek_frame(fmt, vs, ts, AVSEEK_FLAG_BACKWARD) < 0) return false;
     avcodec_flush_buffers(ctx);
     draining = false;
@@ -158,15 +235,17 @@ struct LavDecoder {
     return true;
   }
 
-  // Decodes the next frame in presentation order into frm; returns false at
-  // EOF. Updates frame_idx (pts-derived after a seek, else incremented).
+  // Decodes the next (undropped) frame in presentation order into frm;
+  // returns false at EOF. frame_idx is pts-derived whenever a timestamp is
+  // available (required once grid-skip may drop frames between two emitted
+  // ones), falling back to increment for timestamp-less streams.
   bool next_frame() {
     while (true) {
       int r = avcodec_receive_frame(ctx, frm);
       if (r == 0) {
         int64_t ts = frm->best_effort_timestamp;
-        if (frame_idx < 0 && ts != AV_NOPTS_VALUE) {
-          frame_idx = std::llround((ts - stream_start) * av_q2d(tb) * fps);
+        if (ts != AV_NOPTS_VALUE) {
+          frame_idx = pts_to_index(ts);
         } else {
           frame_idx++;
         }
@@ -184,6 +263,20 @@ struct LavDecoder {
           break;
         }
         if (pkt->stream_index == vs) {
+          if (skip_step > 1) {
+            // Per-packet skip: frame threading copies skip_frame into the
+            // worker context at submit time (pthread_frame.c
+            // update_context_from_user), so the setting tracks packets even
+            // with thread_count > 1. Non-reference frames are, by
+            // definition, inputs to no other frame — dropping the off-grid
+            // ones cannot change any emitted pixel.
+            bool grid = true;  // unknown pts: decode to be safe
+            if (pkt->pts != AV_NOPTS_VALUE) {
+              const long long idx = pts_to_index(pkt->pts);
+              grid = idx >= skip_first && (idx % skip_step) == 0;
+            }
+            ctx->skip_frame = grid ? AVDISCARD_DEFAULT : AVDISCARD_NONREF;
+          }
           int sr = avcodec_send_packet(ctx, pkt);
           av_packet_unref(pkt);
           if (sr < 0 && sr != AVERROR(EAGAIN)) return false;
@@ -194,29 +287,24 @@ struct LavDecoder {
     }
   }
 
-  // Luma plane (VR: bottom-left quadrant) -> 256x256 gray with cv2-range LUT.
+  // Luma plane (VR: bottom-left quadrant) -> 256x256 gray. Range-expansion
+  // LUT is applied per SOURCE sample, then the cv2-exact fixed-point
+  // bilinear resize — the same order as cv2's YUV->BGR(+expand)->resize
+  // chain, and bit-identical to cv2.resize(INTER_LINEAR) on the expanded
+  // luma plane (sws_scale's bilinear was only close, not equal).
   bool to_gray(unsigned char* out, bool vr_mode) {
     const int w = frm->width, h = frm->height;
-    int cw = w, ch = h, off = 0;
+    if (w <= 0 || h <= 0 || !frm->data[0]) return false;
+    int cw = w, ch = h;
+    size_t off = 0;
     if (vr_mode) {
       cw = w / 2;
       ch = h - h / 2;
-      off = (h / 2) * frm->linesize[0];
+      off = (size_t)(h / 2) * frm->linesize[0];
     }
-    if (!sws || cw != sws_src_w || ch != sws_src_h) {
-      if (sws) sws_freeContext(sws);
-      sws = sws_getContext(cw, ch, AV_PIX_FMT_GRAY8, kOutSize, kOutSize,
-                           AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr, nullptr, nullptr);
-      sws_src_w = cw;
-      sws_src_h = ch;
-    }
-    if (!sws) return false;
-    const uint8_t* src_data[4] = {frm->data[0] + off, nullptr, nullptr, nullptr};
-    int src_ls[4] = {frm->linesize[0], 0, 0, 0};
-    uint8_t* dst_data[4] = {out, nullptr, nullptr, nullptr};
-    int dst_ls[4] = {kOutSize, 0, 0, 0};
-    sws_scale(sws, src_data, src_ls, 0, ch, dst_data, dst_ls);
-    for (int i = 0; i < kOutSize * kOutSize; i++) out[i] = lut[out[i]];
+    if (cw <= 0 || ch <= 0) return false;
+    if (plan.sw != cw || plan.sh != ch) plan.build(cw, ch);
+    plan.run(frm->data[0] + off, frm->linesize[0], lut, out);
     return true;
   }
 };
@@ -388,6 +476,8 @@ void* fp_open_v2(const char* path, int vr_mode, int step, int queue_depth,
       if (p->step <= 0) {  // self-probe: step = ceil(fps/30), one open total
         p->step = (int)std::max(1.0, std::ceil(p->fps / 30.0));
       }
+      p->lav.skip_step = p->step;  // off-grid non-ref frames: skip decode
+      p->lav.skip_first = p->start_sample * (long long)p->step;
       if (p->start_sample == 0 || p->lav.seek_to(p->start_sample * p->step)) {
         p->fast = true;
         p->total_frames = p->lav.total_frames;

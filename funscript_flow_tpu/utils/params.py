@@ -68,8 +68,36 @@ class Params:
 
     @classmethod
     def from_dict(cls, d: dict) -> "Params":
-        known = {f.name for f in fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        """Tolerant load, accepting a REFERENCE-shaped config.json too.
+
+        The reference persists raw QLineEdit text, so numeric settings
+        arrive as strings ("8", "1.5", "3000"), and the saved backend is
+        the combo's display text, which may carry an " (unavailable)"
+        annotation (FunscriptFlow.pyw:2266-2281, 2022-2036). Values are
+        coerced by field type; an unparseable value keeps its default
+        rather than discarding the whole config.
+        """
+        types = {f.name: f.type for f in fields(cls)}
+        out = {}
+        for k, v in d.items():
+            t = types.get(k)
+            if t is None:
+                continue  # unknown key (newer/older version): ignore
+            try:
+                if t in (int, "int"):
+                    v = int(float(v))
+                elif t in (float, "float"):
+                    v = float(v)
+                elif t in (bool, "bool") and isinstance(v, str):
+                    v = v.strip().lower() in ("1", "true", "yes", "on")
+                elif t in (str, "str") and not isinstance(v, (dict, list)):
+                    v = str(v)
+            except (TypeError, ValueError):
+                continue  # unparseable: keep the default
+            out[k] = v
+        if isinstance(out.get("backend"), str):
+            out["backend"] = out["backend"].split(" (")[0].strip()
+        return cls(**out)
 
     def to_dict(self) -> dict:
         return asdict(self)

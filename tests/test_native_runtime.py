@@ -204,6 +204,51 @@ def test_encoder_frame_roundtrip(h264_clip):
     assert worst < 8.0  # lossy encode, but the right frame at the right index
 
 
+@pytest.mark.parametrize("vr", [False, True])
+def test_direct_slabs_match_classic_queue(clip, vr):
+    """The direct-write slab path (fp_open_v3 + fp_submit_slab/fp_wait_slab:
+    decode preprocesses straight into numpy memory) must be bitwise
+    identical to the classic bounded-queue path, across odd batch sizes
+    that straddle slab boundaries."""
+    meta = iodec.probe(clip)
+    classic = native_rt.NativeFrameSource(clip, meta, vr_mode=vr, gray=True,
+                                          direct=False)
+    direct = native_rt.NativeFrameSource(clip, meta, vr_mode=vr, gray=True,
+                                         direct=True)
+    a, b = [], []
+    for src, acc in ((classic, a), (direct, b)):
+        while True:
+            batch = src.get_batch(7)  # odd size: exercises slab straddling
+            if not batch:
+                break
+            acc.extend(batch)
+        src.close()
+    assert len(a) == len(b) == len(meta.sampled_indices)
+    np.testing.assert_array_equal(np.stack(a), np.stack(b))
+
+
+def test_direct_slabs_partial_tail_and_exact_fit(tmp_path):
+    """Stream lengths exactly at and just past a slab boundary terminate
+    cleanly (partial tail slab, empty final slab)."""
+    import cv2
+
+    n_slab = native_rt.NativeFrameSource.SLAB_FRAMES
+    # 30 fps -> step 1: sample count == frame count; make one clip exactly
+    # slab-sized and one a single frame longer
+    for n in (n_slab, n_slab + 1):
+        frames = ref.make_synthetic_frames(n, h=64, w=64, period=9, seed=2)
+        p = str(tmp_path / f"c{n}.mp4")
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+        meta = iodec.probe(p)
+        assert meta.step == 1
+        src = native_rt.NativeFrameSource(p, meta, gray=True, direct=True)
+        got = collect(src, n)
+        assert len(got) == n, (n, len(got))
+
+
 def test_native_cancel(clip):
     meta = iodec.probe(clip)
     flag = {"c": False}

@@ -178,6 +178,22 @@ def launch() -> int:
     except Exception:
         pass
 
+    # guaranteed fallback when tkdnd is absent: Ctrl+V pastes newline- or
+    # file://-separated paths from the clipboard through the same
+    # folder-expansion logic the drop handler uses
+    def _on_paste(_event=None):
+        try:
+            text = root.clipboard_get()
+        except Exception:
+            return
+        raw = [ln.strip() for ln in text.replace("\r", "\n").split("\n")]
+        paths = [p[7:] if p.startswith("file://") else p for p in raw if p]
+        for p in expand_dropped_paths([p for p in paths if os.path.exists(p)]):
+            files.append(p)
+            listbox.insert("end", p)
+
+    root.bind("<Control-v>", _on_paste)
+
     # --- options -------------------------------------------------------------
     frm_opt = ttk.LabelFrame(root, text="Options")
     frm_opt.pack(fill="x", padx=8, pady=4)

@@ -185,7 +185,12 @@ struct LavDecoder {
     ctx->lowres = k;
     ctx->flags |= AV_CODEC_FLAG_GRAY;           // skip chroma decode
     ctx->flags2 |= AV_CODEC_FLAG2_FAST;
-    ctx->skip_loop_filter = AVDISCARD_DEFAULT;      // fast mode trades exactness
+    // Deblocking is skipped only for frames nothing else predicts from:
+    // a non-reference frame's missing loop filter perturbs that frame's
+    // own pixels slightly but can never accumulate across the GOP (unlike
+    // AVDISCARD_ALL, which was measured at +16% speed but drifts on long
+    // GOPs — see NOTES_ROUND3). Reference frames stay bit-exact.
+    ctx->skip_loop_filter = AVDISCARD_NONREF;
     unsigned hc = std::thread::hardware_concurrency();
     ctx->thread_count = static_cast<int>(std::min(4u, hc ? hc : 1u));
     if (avcodec_open2(ctx, codec, nullptr) < 0) return false;

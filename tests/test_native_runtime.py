@@ -154,10 +154,11 @@ def test_h264_metadata_exact(h264_clip):
 
 def test_h264_fast_engine_close_to_exact(h264_clip):
     """Long-GOP h264 through the fast engine (luma-only decode, grid-aware
-    AVDISCARD_NONREF skipping, loop filter ON) vs the exact cv2 engine.
-    The residual is chroma's contribution to BGR2GRAY, which luma-only
-    decode cannot see — it does NOT grow along the GOP (loop filtering is
-    not skipped on any emitted or reference frame)."""
+    AVDISCARD_NONREF skipping, loop filter skipped on NONREF frames only)
+    vs the exact cv2 engine. The residual is chroma's contribution to
+    BGR2GRAY plus missing deblock on non-reference frames — neither can
+    grow along the GOP (reference frames keep their loop filter, so
+    prediction chains stay bit-exact)."""
     meta = iodec.probe(h264_clip)
     fa_src = native_rt.NativeFrameSource(h264_clip, meta, gray=True, fast=True)
     assert fa_src.is_fast

@@ -177,10 +177,11 @@ def main() -> None:
             jnp.asarray(warm_frames), jnp.int32(4), cfg
         )["dots"].block_until_ready()
 
-    # --- scenario 1 (headline): single 20 s 1080p30 h264 clip, best of 5
-    # (shared-pool noise: back-to-back identical runs vary 10-30%; min-of-N
-    # converges) ---
-    r = _timed_runs(process_video, main_clip, params, 5, DURATION_S)
+    # --- scenario 1 (headline): single 20 s 1080p30 h264 clip, best of 7
+    # (shared-pool noise: back-to-back identical runs vary 10-30%, with
+    # occasional multi-x spikes; min-of-N converges and warm runs are ~2-4 s
+    # each so the extra runs are cheap) ---
+    r = _timed_runs(process_video, main_clip, params, 7, DURATION_S)
     if r is None:
         print(json.dumps({"metric": "bench_error", "value": 0, "unit": "", "vs_baseline": 0}))
         return
@@ -188,10 +189,10 @@ def main() -> None:
     n_pairs = int(DURATION_S * FPS) - 1
     pairs_per_s = n_pairs / max(device_compute, 1e-9)
 
-    # --- scenario 2: folder batch (3 clips, 40 s of video), best of 3 ---
+    # --- scenario 2: folder batch (3 clips, 40 s of video), best of 4 ---
     total_secs = sum(s for _, s, _, _, _ in folder_specs)
     folder_x_rt = 0.0
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         err = run_headless(folder, params,
                            log_path=os.path.join(BENCH_DIR, "run.log"))
@@ -201,14 +202,14 @@ def main() -> None:
     # --- scenario 3: mp4v comparability point (round-1/2 headline shape) ---
     mp4v_x_rt = 0.0
     if os.path.exists(mp4v_clip):
-        r = _timed_runs(process_video, mp4v_clip, params, 2, DURATION_S)
+        r = _timed_runs(process_video, mp4v_clip, params, 4, DURATION_S)
         mp4v_x_rt = r[0] if r else 0.0
 
-    # --- scenario 4: 4K SBS VR clip, vr_mode, best of 2 ---
+    # --- scenario 4: 4K SBS VR clip, vr_mode, best of 3 ---
     vr_x_rt = 0.0
     if os.path.exists(vr_clip):
         vr_params = Params(overwrite=True, vr_mode=True)
-        r = _timed_runs(process_video, vr_clip, vr_params, 2, vr_secs)
+        r = _timed_runs(process_video, vr_clip, vr_params, 3, vr_secs)
         vr_x_rt = r[0] if r else 0.0
 
     print(json.dumps({

@@ -37,7 +37,19 @@ from ..utils.params import Params
 from ..utils.strings import STRINGS
 from ..worker import BatchWorker
 
-__all__ = ["collect_settings", "expand_dropped_paths", "launch"]
+__all__ = ["collect_settings", "expand_dropped_paths", "launch",
+           "paths_from_clipboard_text"]
+
+
+def paths_from_clipboard_text(text: str) -> list:
+    """Clipboard text -> existing paths, for the Ctrl+V fallback when the
+    optional tkdnd extension is absent (the reference's Qt DnD always
+    works, FunscriptFlow.pyw:2511; tkinter needs tkdnd for true drops).
+    Accepts newline-separated paths and file:// URIs (what most file
+    managers put on the clipboard for copied files)."""
+    raw = [ln.strip() for ln in text.replace("\r", "\n").split("\n")]
+    paths = [p[7:] if p.startswith("file://") else p for p in raw if p]
+    return expand_dropped_paths([p for p in paths if os.path.exists(p)])
 
 
 def expand_dropped_paths(paths) -> list:
@@ -186,9 +198,7 @@ def launch() -> int:
             text = root.clipboard_get()
         except Exception:
             return
-        raw = [ln.strip() for ln in text.replace("\r", "\n").split("\n")]
-        paths = [p[7:] if p.startswith("file://") else p for p in raw if p]
-        for p in expand_dropped_paths([p for p in paths if os.path.exists(p)]):
+        for p in paths_from_clipboard_text(text):
             files.append(p)
             listbox.insert("end", p)
 

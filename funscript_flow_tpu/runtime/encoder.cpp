@@ -89,6 +89,12 @@ struct Encoder {
     if (std::strcmp(codec_name, "libx264") == 0) {
       av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
       av_opt_set(ctx->priv_data, "crf", "23", 0);
+    } else if (std::strcmp(codec_name, "libx265") == 0) {
+      // hevc fixtures (the dominant VR-library codec): fast settings and
+      // quiet logs — x265's banner goes to stderr on every open otherwise
+      av_opt_set(ctx->priv_data, "preset", "ultrafast", 0);
+      av_opt_set(ctx->priv_data, "crf", "23", 0);
+      av_opt_set(ctx->priv_data, "x265-params", "log-level=none", 0);
     }
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
       ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;

@@ -170,3 +170,18 @@ def test_expand_dropped_paths_nonrecursive_quirk(tmp_path):
     (sub / "c.mkv").touch()
     got = expand_dropped_paths([str(tmp_path), str(sub / "c.mkv"), str(tmp_path / "b.txt")])
     assert got == [str(tmp_path / "a.mp4"), str(sub / "c.mkv")]
+
+
+def test_paths_from_clipboard_text(tmp_path):
+    """Ctrl+V fallback: newline lists and file:// URIs resolve to existing
+    paths through the same one-level folder expansion as real drops."""
+    from funscript_flow_tpu.gui.app import paths_from_clipboard_text
+
+    (tmp_path / "a.mp4").touch()
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "c.mkv").touch()
+    text = (f"file://{sub / 'c.mkv'}\r\n{tmp_path}\n\n"
+            f"{tmp_path / 'missing.mp4'}\n")
+    got = paths_from_clipboard_text(text)
+    assert got == [str(sub / "c.mkv"), str(tmp_path / "a.mp4")]

@@ -277,3 +277,52 @@ def test_self_probe_meta_matches_cv2_probe(clip):
     want = collect(ref_src, None)
     assert len(got) == len(want) == len(want_meta.sampled_indices)
     np.testing.assert_array_equal(np.stack(got), np.stack(want))
+
+
+@pytest.fixture(scope="module")
+def hevc_clip(tmp_path_factory):
+    """Long-GOP HEVC — the dominant VR-library codec. Same shape as the
+    h264 fixture so the grid-skip (step 2) path is exercised; encoded via
+    libx265 ultrafast (encoder.cpp)."""
+    if not native_rt.encoder_available("libx265"):
+        pytest.skip("libx265 encoder not available")
+    d = tmp_path_factory.mktemp("hevc")
+    frames = ref.make_synthetic_frames(240, h=200, w=320, period=12, seed=9)
+    p = str(d / "clip265.mp4")
+    with native_rt.VideoEncoder(p, 320, 200, 60.0, codec="libx265",
+                                gop=250, bframes=3) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))  # RGB -> BGR
+    return p
+
+
+def test_hevc_fast_engine_close_to_exact(hevc_clip):
+    """HEVC through the fast engine (luma-only, grid-aware NONREF skip,
+    deblock+SAO skipped on non-reference frames only) vs the exact cv2
+    engine — same bar as h264: bounded residual, no growth along the GOP
+    (reference frames keep their in-loop filters, so prediction chains
+    stay bit-exact)."""
+    meta = iodec.probe(hevc_clip)
+    assert meta.fps == 60.0 and meta.step == 2
+    fa_src = native_rt.NativeFrameSource(hevc_clip, meta, gray=True, fast=True)
+    assert fa_src.is_fast
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(hevc_clip, meta, gray=True))
+    assert ex.shape == fa.shape == (120, 256, 256)
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 4.5
+    assert np.abs(d).max() <= 48
+    per_frame = np.abs(d).mean(axis=(1, 2))
+    assert per_frame[90:].mean() < per_frame[:30].mean() + 1.0
+
+
+def test_hevc_range_decode_bitwise(hevc_clip):
+    """Keyframe seek + pre-roll + nonref-skip on HEVC preserves the
+    range-slice == full-read-slice invariant sharded decode relies on."""
+    meta = iodec.probe(hevc_clip)
+    full = collect_np(native_rt.NativeFrameSource(hevc_clip, meta, gray=True,
+                                                  fast=True))
+    part = collect_np(native_rt.NativeFrameSource(hevc_clip, meta, gray=True,
+                                                  fast=True, start_sample=37,
+                                                  max_samples=30))
+    np.testing.assert_array_equal(part, full[37:67])

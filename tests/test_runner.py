@@ -248,3 +248,59 @@ def test_vr_preprocess_crop():
     out = iodec.preprocess_frame(f, vr_mode=True)
     assert out.shape == (256, 256, 3)
     assert out.mean() > 200  # crop picked the bright quadrant
+
+
+def test_truncated_mp4_clean_error(tmp_path):
+    """An mp4 cut off mid-file loses its trailing moov atom and becomes
+    unopenable — that must surface as the reference's clean per-video
+    error (logged, error flag set), never an exception
+    (FunscriptFlow.pyw:1115-1125)."""
+    frames = ref.make_synthetic_frames(128, h=240, w=320, period=16, seed=7)
+    full = tmp_path / "full.mp4"
+    write_video(full, frames)
+    data = full.read_bytes()
+    trunc = tmp_path / "trunc.mp4"
+    trunc.write_bytes(data[: len(data) // 2])
+
+    params = Params(overwrite=True, signal_backend="host", pair_batch=24)
+    logs = []
+    err = process_video(str(trunc), params, logs.append)
+    assert err
+    assert any("ERROR" in l for l in logs), logs
+
+
+def test_truncated_ts_prefix_funscript(tmp_path):
+    """An MPEG-TS stream cut off mid-file (interrupted download/recording —
+    .ts is in the reference's whitelist) keeps its in-band metadata, so the
+    decodable prefix must still yield a clean funscript: the decode layer
+    stops at the truncation point without emitting trailing black padding
+    (io/decode.py) and the streaming analyzer finalizes on the short
+    stream."""
+    from funscript_flow_tpu import runtime as native_rt
+
+    if not native_rt.encoder_available("libx264"):
+        pytest.skip("libx264 encoder not available")
+    frames = ref.make_synthetic_frames(128, h=240, w=320, period=16, seed=7)
+    full = tmp_path / "full.ts"
+    with native_rt.VideoEncoder(str(full), 320, 240, 30.0, codec="libx264",
+                                gop=25, bframes=2) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))
+    data = full.read_bytes()
+    trunc = tmp_path / "trunc.ts"
+    # cut on a 188-byte TS packet boundary, roughly half the stream
+    cut = (len(data) // 2) // 188 * 188
+    trunc.write_bytes(data[:cut])
+
+    params = Params(overwrite=True, signal_backend="host", pair_batch=24)
+    logs = []
+    err = process_video(str(trunc), params, logs.append)
+    assert not err, logs
+    out = load_funscript(str(trunc).replace(".ts", ".funscript"))
+    acts = out["actions"]
+    assert len(acts) >= 2
+    ats = [a["at"] for a in acts]
+    assert all(b > a for a, b in zip(ats, ats[1:]))
+    assert all(0 <= a["pos"] <= 100 for a in acts)
+    # the prefix that survived is strictly shorter than the full clip
+    assert ats[-1] < 1000.0 * len(frames) / FPS

@@ -95,6 +95,18 @@ struct Encoder {
       av_opt_set(ctx->priv_data, "preset", "ultrafast", 0);
       av_opt_set(ctx->priv_data, "crf", "23", 0);
       av_opt_set(ctx->priv_data, "x265-params", "log-level=none", 0);
+    } else if (std::strcmp(codec_name, "libvpx-vp9") == 0) {
+      // .webm fixtures (reference extension whitelist includes .webm,
+      // FunscriptFlow.pyw:28-29): realtime deadline or encode is ~10 fps
+      av_opt_set(ctx->priv_data, "deadline", "realtime", 0);
+      av_opt_set(ctx->priv_data, "cpu-used", "8", 0);
+      av_opt_set(ctx->priv_data, "crf", "30", 0);
+      ctx->bit_rate = 0;  // crf-only rate control
+    } else if (std::strcmp(codec_name, "libaom-av1") == 0) {
+      av_opt_set(ctx->priv_data, "usage", "realtime", 0);
+      av_opt_set(ctx->priv_data, "cpu-used", "8", 0);
+      av_opt_set(ctx->priv_data, "crf", "30", 0);
+      ctx->bit_rate = 0;
     }
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
       ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;

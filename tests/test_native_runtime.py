@@ -326,3 +326,57 @@ def test_hevc_range_decode_bitwise(hevc_clip):
                                                   fast=True, start_sample=37,
                                                   max_samples=30))
     np.testing.assert_array_equal(part, full[37:67])
+
+
+# ---------------------------------------------------------------------------
+# .webm codec family (VP9 / AV1) — in the reference's extension whitelist
+# (FunscriptFlow.pyw:28-29: .webm) but a different codec lineage than the
+# MPEG family: no B-frames, non-displayed altref frames carry the pts of
+# nothing (they must not shift frame indexing), and the WebM container has
+# no nb_frames so total_frames comes from the duration estimate.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module", params=["libvpx-vp9", "libaom-av1"],
+                ids=["vp9", "av1"])
+def webm_clip(tmp_path_factory, request):
+    codec = request.param
+    if not native_rt.encoder_available(codec):
+        pytest.skip(f"{codec} encoder not available")
+    d = tmp_path_factory.mktemp("webm")
+    frames = ref.make_synthetic_frames(240, h=200, w=320, period=12, seed=11)
+    p = str(d / f"clip_{codec.replace('-', '_')}.webm")
+    with native_rt.VideoEncoder(p, 320, 200, 60.0, codec=codec,
+                                gop=250, bframes=0) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))  # RGB -> BGR
+    return p
+
+
+def test_webm_fast_engine_close_to_exact(webm_clip):
+    """VP9/AV1 through the fast engine (luma-only decode; grid-skip inert —
+    every frame is a reference in realtime-encoded streams) vs the exact
+    cv2 engine: bounded residual, no drift along the GOP."""
+    meta = iodec.probe(webm_clip)
+    assert meta.fps == 60.0 and meta.step == 2
+    fa_src = native_rt.NativeFrameSource(webm_clip, meta, gray=True, fast=True)
+    assert fa_src.is_fast
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(webm_clip, meta, gray=True))
+    assert ex.shape == fa.shape == (120, 256, 256)
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 4.5
+    assert np.abs(d).max() <= 48
+    per_frame = np.abs(d).mean(axis=(1, 2))
+    assert per_frame[90:].mean() < per_frame[:30].mean() + 1.0
+
+
+def test_webm_range_decode_bitwise(webm_clip):
+    """Keyframe seek + pre-roll on WebM (duration-derived total_frames,
+    granule timestamps) preserves range-slice == full-read-slice."""
+    meta = iodec.probe(webm_clip)
+    full = collect_np(native_rt.NativeFrameSource(webm_clip, meta, gray=True,
+                                                  fast=True))
+    part = collect_np(native_rt.NativeFrameSource(webm_clip, meta, gray=True,
+                                                  fast=True, start_sample=37,
+                                                  max_samples=30))
+    np.testing.assert_array_equal(part, full[37:67])

@@ -23,6 +23,13 @@ Extra fields in the same line:
 * ``decode_wait_s`` / ``device_compute_s`` — stage split of the best
   single-clip h264 run (from the runner's StageTimers).
 * ``pairs_per_s`` — device-side flow throughput implied by that run.
+* ``decode_only_s`` — raw pump decode of the same clip, nothing else
+  running (best of 3): the host-side floor the e2e wall is bound by on
+  this 1-core box. ``value / (duration/decode_only_s)`` ≈ overlap
+  efficiency; a large gap between the implied ceiling and ``value`` means
+  the shared host CPU was contended during the run, not that the pipeline
+  regressed (NOTES_ROUND3 "measurement traps": identical scenarios swing
+  2-3x day to day).
 * ``codec`` — "h264" (native encoder) or "mp4v" (fallback).
 
 Baseline: the reference is "usually faster than watching it" on a desktop
@@ -177,6 +184,26 @@ def main() -> None:
             jnp.asarray(warm_frames), jnp.int32(4), cfg
         )["dots"].block_until_ready()
 
+    # Calibration: raw pump decode of the headline clip (no device work) —
+    # the host-side floor for the e2e wall. Best of 3; cheap (~2 s/run).
+    decode_only = float("inf")
+    try:
+        from funscript_flow_tpu import runtime as nrt
+
+        if nrt.available():
+            for _ in range(3):
+                t0 = time.time()
+                src = nrt.NativeFrameSource(main_clip, meta=None, gray=True,
+                                            fast=True)
+                while src.get_batch(256):
+                    pass
+                src.close()
+                decode_only = min(decode_only, time.time() - t0)
+    except Exception:
+        pass
+    if not np.isfinite(decode_only):
+        decode_only = 0.0
+
     # --- scenario 1 (headline): single 20 s 1080p30 h264 clip, best of 7
     # (shared-pool noise: back-to-back identical runs vary 10-30%, with
     # occasional multi-x spikes; min-of-N converges and warm runs are ~2-4 s
@@ -223,6 +250,7 @@ def main() -> None:
         "decode_wait_s": round(decode_wait, 2),
         "device_compute_s": round(device_compute, 2),
         "pairs_per_s": round(pairs_per_s, 1),
+        "decode_only_s": round(decode_only, 2),
         "codec": codec,
     }))
 

@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "cv2-bit-identical decode")
     p.add_argument("--profile_dir", default="",
                    help="Write a jax.profiler trace of the analysis loop here")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="Write intra-video resume sidecars (a killed run "
+                        "restarts a long video from its last checkpoint "
+                        "instead of frame 0; removed on completion)")
     p.add_argument("--log", default="run.log", help="Log file path")
     return p
 
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
         mesh=args.mesh,
         decode_quality=args.decode_quality,
         profile_dir=args.profile_dir,
+        checkpoint=args.checkpoint,
     )
     any_error = run_headless(args.input, params, log_path=args.log)
     return 1 if any_error else 0

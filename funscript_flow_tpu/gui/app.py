@@ -115,6 +115,7 @@ def collect_settings(widgets: dict) -> Params:
         decode_quality=str(widgets.get("decode_quality", "fast")),
         signal_backend=str(widgets.get("signal_backend", "auto")),
         use_pallas=str(widgets.get("use_pallas", "auto")),
+        checkpoint=bool(widgets.get("checkpoint", False)),
     )
 
 
@@ -219,6 +220,12 @@ def launch() -> int:
     _add_tooltip(cb_pov, STRINGS["pov_mode_tooltip"])
     ttk.Checkbutton(frm_opt, text="Keyframe reduction", variable=v_kr).grid(row=0, column=2, sticky="w")
     ttk.Checkbutton(frm_opt, text=STRINGS["overwrite_files"], variable=v_ow).grid(row=0, column=3, sticky="w")
+    v_ckpt = tk.BooleanVar(value=False)
+    cb_ckpt = ttk.Checkbutton(frm_opt, text="Checkpoint", variable=v_ckpt)
+    cb_ckpt.grid(row=0, column=4, sticky="w")
+    _add_tooltip(cb_ckpt, "Write intra-video resume sidecars so a killed run "
+                          "restarts long videos from the last checkpoint "
+                          "instead of frame 0 (removed on completion).")
     ttk.Label(frm_opt, text=STRINGS["backend"]).grid(row=1, column=0, sticky="e")
     v_backend = tk.StringVar(value="TPU")
     choices = [f"TPU {'(available)' if backends['TPU'] else '(no device!)'}",
@@ -274,6 +281,7 @@ def launch() -> int:
             "pov_mode": v_pov.get(),
             "keyframe_reduction": v_kr.get(),
             "backend": v_backend.get(),
+            "checkpoint": v_ckpt.get(),
         })
 
     def apply_settings(p: Params):
@@ -284,6 +292,7 @@ def launch() -> int:
         v_pov.set(p.pov_mode)
         v_kr.set(p.keyframe_reduction)
         v_backend.set(p.backend)
+        v_ckpt.set(p.checkpoint)
 
     cfgbar = ttk.Frame(frm_adv)
     cfgbar.grid(row=4, column=0, columnspan=6, sticky="w", pady=2)

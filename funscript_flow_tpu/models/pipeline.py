@@ -332,6 +332,14 @@ class StreamingFlowAnalyzer:
             self._dispatch(self._s + B, None)
         return self._drain(keep=1)
 
+    def drain_pending(self) -> list:
+        """Materialize every dispatched-but-undrained window WITHOUT
+        dispatching new work. Cancel path: the device has already paid for
+        these pairs, so the checkpoint sidecar should keep them
+        (runner._ckpt_save); ``push`` alone always leaves one window in
+        flight (keep=1 pipelining)."""
+        return self._drain(keep=0)
+
     def flush(self) -> list:
         """Video ended: emit remaining pairs with end-truncated smoothing."""
         n_total = max(self._n_frames - 1, 0)

@@ -26,6 +26,7 @@ import time
 
 import numpy as np
 
+from .io import checkpoint as ckpt_mod
 from .io import decode as iodec
 from .io.funscript import funscript_path, write_funscript
 from .models.pipeline import (PipelineConfig, StreamingFlowAnalyzer,
@@ -195,10 +196,12 @@ def _open_video(video_path, params: Params, cancel_flag, log_func):
                                     log_func)
 
 
-def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func):
+def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func,
+                       start_sample: int = 0):
     """Decode source for one video: native (C++ frame_pump) when available,
     sharded over ``params.threads`` workers when threads > 1 (the reference's
     ``threads`` knob, :2644, remapped to range-parallel sequential decode).
+    ``start_sample`` > 0 resumes mid-video (checkpoint path).
     Returns None on a hard error (native decode forced but unavailable).
     """
     native_rt = _detect_native(params, log_func)
@@ -222,6 +225,10 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func):
 
     n_samples = len(meta.sampled_indices)
     shards = _decode_shards(params)
+    if start_sample > 0:
+        # checkpoint resume: one sequential source from the resume point
+        # (sharded range-splitting is a fresh-run optimization)
+        return factory(start_sample, -1, params.batch_size)
     if shards > 1:
         return iodec.ShardedFrameSource(
             factory, n_samples, shards, depth=params.batch_size, gray=True
@@ -347,11 +354,57 @@ def process_video(video_path: str, params: Params, log_func,
         log_func(STRINGS["mesh_devices"].format(
             n=params.mesh, platform=mesh.devices.flat[0].platform))
     analyzer = StreamingFlowAnalyzer(cfg, mesh=mesh, device=device)
+
+    # --- intra-video checkpoint / resume (io.checkpoint docstring) ---
+    n_pairs_total = n_samples - 1
+    ckpt_path = ckpt_fp = None
+    prefix_dots = np.zeros(0, np.float32)
+    prefix_cuts = np.zeros(0, bool)
+    resume_base = 0     # absolute pair index of the analyzer's local pair 0
+    discard = 0         # local pairs that duplicate the prefix (halo recompute)
+    if params.checkpoint:
+        ckpt_path = ckpt_mod.sidecar_path(output_path)
+        try:
+            ckpt_fp = ckpt_mod.fingerprint(video_path, meta, params)
+        except OSError:
+            ckpt_path = None
+        loaded = ckpt_mod.load(ckpt_path, ckpt_fp) if ckpt_path else None
+        if loaded is not None:
+            start_pair = min(len(loaded[0]), n_pairs_total)
+            # restart r pairs early: pairs >= start_pair need the centers of
+            # pairs down to start_pair - r for the ±r temporal smoothing;
+            # everything before that is independent per pair
+            resume_base = max(0, start_pair - analyzer.radius)
+            discard = start_pair - resume_base
+            prefix_dots = loaded[0][:start_pair]
+            prefix_cuts = loaded[1][:start_pair]
+            log_func(f"Resuming from checkpoint: {start_pair}/{n_pairs_total} "
+                     f"pairs done (recomputing {discard}-pair halo).")
+            source.close()  # was opened at sample 0 (possibly preopened)
+            source = _make_frame_source(video_path, meta, params, cancel_flag,
+                                        log_func, start_sample=resume_base)
+            if source is None:
+                return True
     if mesh is None:
-        _prewarm_tail_async(cfg, analyzer.radius, n_samples - 1, device)
+        _prewarm_tail_async(cfg, analyzer.radius,
+                            n_pairs_total - resume_base, device)
 
     results = []
-    n_pairs_total = n_samples - 1
+    last_ckpt_pairs = len(prefix_dots)
+
+    def _ckpt_save():
+        """Persist prefix + drained local pairs (minus the recomputed halo)."""
+        nonlocal last_ckpt_pairs
+        if results:
+            ld = np.concatenate([r["dots"] for r in results])[discard:]
+            lc = np.concatenate([r["cuts"] for r in results])[discard:]
+        else:
+            ld, lc = np.zeros(0, np.float32), np.zeros(0, bool)
+        d = np.concatenate([prefix_dots, ld.astype(np.float32)])
+        c = np.concatenate([prefix_cuts, lc.astype(bool)])
+        ckpt_mod.save(ckpt_path, d, c, ckpt_fp)
+        last_ckpt_pairs = len(d)
+
     timers = StageTimers()
     # Pipeline priming: a window of pairs [0, B) needs B + radius pairs
     # (B + radius + 1 frames) buffered before the analyzer can dispatch it.
@@ -370,6 +423,10 @@ def process_video(video_path: str, params: Params, log_func,
             while True:
                 if cancel_flag is not None and cancel_flag():
                     log_func(STRINGS["cancelled_by_user"])
+                    if ckpt_path is not None:
+                        # keep the in-flight window too: it's already computed
+                        results.extend(analyzer.drain_pending())
+                        _ckpt_save()  # cancel -> resumable
                     return False
                 with timers.stage("decode_wait"):
                     batch = source.get_batch(next_pull)
@@ -380,21 +437,36 @@ def process_video(video_path: str, params: Params, log_func,
                     else:
                         results.extend(analyzer.flush())
                         break
+                if ckpt_path is not None:
+                    done = len(prefix_dots) + max(
+                        0, sum(len(r["dots"]) for r in results) - discard)
+                    if done - last_ckpt_pairs >= ckpt_mod.CHECKPOINT_EVERY_PAIRS:
+                        _ckpt_save()
                 if progress_callback is not None:
-                    progress_callback(min(100, int(100 * analyzer.pairs_emitted / max(1, n_pairs_total))))
+                    progress_callback(min(100, int(
+                        100 * (resume_base + analyzer.pairs_emitted)
+                        / max(1, n_pairs_total))))
     except Exception as e:
         log_func(f"ERROR: analysis failed for {video_path}: {e}")
         return True
     finally:
         source.close()
 
-    n_pairs = analyzer.pairs_emitted
+    n_local = analyzer.pairs_emitted
+    n_pairs = len(prefix_dots) + max(0, n_local - discard)
     if n_pairs < 1:
         log_func(f"ERROR: no frame pairs decoded for {video_path}.")
         return True
 
-    dots = np.concatenate([r["dots"] for r in results])[:n_pairs]
-    cuts = np.concatenate([r["cuts"] for r in results])[:n_pairs]
+    if results:
+        local_dots = np.concatenate([r["dots"] for r in results])[:n_local]
+        local_cuts = np.concatenate([r["cuts"] for r in results])[:n_local]
+    else:
+        local_dots = np.zeros(0, np.float32)
+        local_cuts = np.zeros(0, bool)
+    dots = np.concatenate([prefix_dots,
+                           local_dots[discard:].astype(np.float32)])
+    cuts = np.concatenate([prefix_cuts, local_cuts[discard:].astype(bool)])
     time_stamps = np.arange(n_pairs) * meta.step  # original frame indices (:1151)
 
     error_occurred = False
@@ -406,6 +478,8 @@ def process_video(video_path: str, params: Params, log_func,
     try:
         write_funscript(output_path, actions)
         log_func(STRINGS["funscript_saved"].format(output_path=output_path))
+        if ckpt_path is not None:
+            ckpt_mod.clear(ckpt_path)  # done: the funscript IS the result
     except Exception as e:
         log_func(STRINGS["log_error"].format(error=str(e)))
         error_occurred = True

@@ -47,6 +47,9 @@ class Params:
     mesh: int = 0                    # shard pair windows over N devices
                                      # (0/1 = single device; SURVEY §2.4 DP)
     profile_dir: str = ""            # jax.profiler trace dir ("" = off)
+    checkpoint: bool = False         # intra-video resume sidecars
+                                     # (io/checkpoint.py; reference only had
+                                     # file-level skip-if-exists, :1105-1109)
 
     def __post_init__(self):
         b = str(self.backend).upper()

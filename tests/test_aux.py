@@ -185,3 +185,50 @@ def test_paths_from_clipboard_text(tmp_path):
             f"{tmp_path / 'missing.mp4'}\n")
     got = paths_from_clipboard_text(text)
     assert got == [str(sub / "c.mkv"), str(tmp_path / "a.mp4")]
+
+
+# --- intra-video checkpoint sidecars (io/checkpoint.py) ---------------------
+
+def test_checkpoint_roundtrip_and_invalidation(tmp_path):
+    import numpy as np
+
+    from funscript_flow_tpu.io import checkpoint as ck
+
+    path = str(tmp_path / "x.funscript.ckpt.npz")
+    dots = np.arange(10, dtype=np.float32)
+    cuts = np.zeros(10, bool)
+    cuts[3] = True
+    ck.save(path, dots, cuts, "fp-a")
+    got = ck.load(path, "fp-a")
+    assert got is not None
+    np.testing.assert_array_equal(got[0], dots)
+    np.testing.assert_array_equal(got[1], cuts)
+    # different fingerprint (video changed / params changed): no resume
+    assert ck.load(path, "fp-b") is None
+    # corrupt file: no resume, no raise
+    with open(path, "wb") as f:
+        f.write(b"not an npz")
+    assert ck.load(path, "fp-a") is None
+    # missing file
+    ck.clear(path)
+    assert ck.load(path, "fp-a") is None
+    ck.clear(path)  # idempotent
+
+
+def test_checkpoint_fingerprint_sensitivity(tmp_path):
+    from funscript_flow_tpu.io import checkpoint as ck
+    from funscript_flow_tpu.io.decode import VideoMeta
+
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"0" * 100)
+    meta = VideoMeta(total_frames=60, fps=30.0, width=64, height=64)
+    base = ck.fingerprint(str(video), meta, Params())
+    assert ck.fingerprint(str(video), meta, Params()) == base
+    # per-pair-affecting params change it; irrelevant ones don't
+    assert ck.fingerprint(str(video), meta, Params(cut_threshold=9)) != base
+    assert ck.fingerprint(str(video), meta, Params(vr_mode=True)) != base
+    assert ck.fingerprint(str(video), meta, Params(pair_batch=32)) == base
+    assert ck.fingerprint(str(video), meta, Params(threads=2)) == base
+    # file content change
+    video.write_bytes(b"1" * 101)
+    assert ck.fingerprint(str(video), meta, Params()) != base

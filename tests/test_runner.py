@@ -304,3 +304,83 @@ def test_truncated_ts_prefix_funscript(tmp_path):
     assert all(0 <= a["pos"] <= 100 for a in acts)
     # the prefix that survived is strictly shorter than the full clip
     assert ats[-1] < 1000.0 * len(frames) / FPS
+
+
+def test_checkpoint_resume_bitwise(clip, tmp_path, monkeypatch):
+    """Kill a checkpointed run mid-video, rerun: the resumed run recomputes
+    only the ±6-pair halo and the final funscript is BITWISE identical to
+    an uninterrupted run (io/checkpoint.py contract). The reference's only
+    resume is whole-file skip-if-exists (:1105-1109)."""
+    import shutil
+
+    from funscript_flow_tpu.io import checkpoint as ck
+
+    vid = str(tmp_path / "ckpt_clip.mp4")
+    shutil.copyfile(clip, vid)
+    out = vid.replace(".mp4", ".funscript")
+    params = Params(overwrite=True, signal_backend="host", pair_batch=24,
+                    decode_quality="exact", checkpoint=True)
+
+    # uninterrupted baseline
+    err = process_video(vid, params, lambda m: None)
+    assert not err
+    baseline = open(out, "rb").read()
+    assert not os.path.exists(ck.sidecar_path(out))  # cleared on success
+    os.remove(out)
+
+    # run again, cancelling after the second device batch; checkpoint every
+    # few pairs so the cancelled run has saved a prefix
+    monkeypatch.setattr(ck, "CHECKPOINT_EVERY_PAIRS", 8)
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    err = process_video(vid, params, lambda m: None, cancel_flag=cancel)
+    assert not err  # cancel is not an error
+    assert not os.path.exists(out)
+    sidecar = ck.sidecar_path(out)
+    assert os.path.exists(sidecar)
+    saved = ck.load(sidecar, ck.fingerprint(
+        vid, iodec.probe(vid), params))
+    assert saved is not None and 0 < len(saved[0]) < 63
+
+    # resume: must log the resume, finish, match the baseline bitwise,
+    # and remove the sidecar
+    logs = []
+    err = process_video(vid, params, logs.append)
+    assert not err
+    assert any("Resuming from checkpoint" in ln for ln in logs), logs
+    assert open(out, "rb").read() == baseline
+    assert not os.path.exists(sidecar)
+
+
+def test_checkpoint_stale_sidecar_ignored(clip, tmp_path):
+    """A sidecar whose fingerprint doesn't match (here: different
+    cut_threshold) is ignored — the run starts from frame 0 and still
+    produces the right output."""
+    import shutil
+
+    import numpy as np
+
+    from funscript_flow_tpu.io import checkpoint as ck
+
+    vid = str(tmp_path / "stale_clip.mp4")
+    shutil.copyfile(clip, vid)
+    out = vid.replace(".mp4", ".funscript")
+    params = Params(overwrite=True, signal_backend="host", pair_batch=24,
+                    decode_quality="exact", checkpoint=True)
+    baseline_params = Params(overwrite=True, signal_backend="host",
+                             pair_batch=24, decode_quality="exact")
+    assert not process_video(vid, baseline_params, lambda m: None)
+    baseline = open(out, "rb").read()
+
+    stale_fp = ck.fingerprint(vid, iodec.probe(vid),
+                              Params(cut_threshold=99))
+    ck.save(ck.sidecar_path(out), np.full(30, 1e9, np.float32),
+            np.zeros(30, bool), stale_fp)
+    logs = []
+    assert not process_video(vid, params, logs.append)
+    assert not any("Resuming" in ln for ln in logs)
+    assert open(out, "rb").read() == baseline

@@ -251,6 +251,11 @@ def main() -> None:
         "device_compute_s": round(device_compute, 2),
         "pairs_per_s": round(pairs_per_s, 1),
         "decode_only_s": round(decode_only, 2),
+        # host decode floor expressed as the x-realtime ceiling this box
+        # allows: e2e can't beat it, and value << ceiling means the shared
+        # vCPU was contended during the e2e runs, not a pipeline regression
+        "decode_ceiling_x_realtime": round(
+            DURATION_S / decode_only, 2) if decode_only else 0.0,
         "codec": codec,
     }))
 

@@ -378,8 +378,8 @@ def process_video(video_path: str, params: Params, log_func,
             discard = start_pair - resume_base
             prefix_dots = loaded[0][:start_pair]
             prefix_cuts = loaded[1][:start_pair]
-            log_func(f"Resuming from checkpoint: {start_pair}/{n_pairs_total} "
-                     f"pairs done (recomputing {discard}-pair halo).")
+            log_func(STRINGS["resuming_checkpoint"].format(
+                done=start_pair, total=n_pairs_total, halo=discard))
             source.close()  # was opened at sample 0 (possibly preopened)
             source = _make_frame_source(video_path, meta, params, cancel_flag,
                                         log_func, start_sample=resume_base)
@@ -435,6 +435,19 @@ def process_video(video_path: str, params: Params, log_func,
                     if batch:
                         results.extend(analyzer.push(batch))
                     else:
+                        if cancel_flag is not None and cancel_flag():
+                            # The frame source polls the cancel flag too
+                            # (NativeFrameSource.get_batch, the prefetch
+                            # producer) and truncates its stream when it
+                            # fires — an empty batch here may be a cancel,
+                            # not EOF. Treating it as EOF would silently
+                            # write a truncated funscript as if the video
+                            # ended at the cancel point.
+                            log_func(STRINGS["cancelled_by_user"])
+                            if ckpt_path is not None:
+                                results.extend(analyzer.drain_pending())
+                                _ckpt_save()  # cancel -> resumable
+                            return False
                         results.extend(analyzer.flush())
                         break
                 if ckpt_path is not None:

@@ -62,6 +62,9 @@ _DEFAULTS = {
     "processing_time": "Processing time: {seconds:.2f} seconds",
     "backend": "Backend:",
     "mesh_devices": "Mesh: {n} devices ({platform})",
+    "resuming_checkpoint":
+        "Resuming from checkpoint: {done}/{total} pairs done "
+        "(recomputing {halo}-pair halo).",
 }
 
 

@@ -306,11 +306,15 @@ def test_truncated_ts_prefix_funscript(tmp_path):
     assert ats[-1] < 1000.0 * len(frames) / FPS
 
 
-def test_checkpoint_resume_bitwise(clip, tmp_path, monkeypatch):
+@pytest.mark.parametrize("quality", ["exact", "fast"])
+def test_checkpoint_resume_bitwise(clip, tmp_path, monkeypatch, quality):
     """Kill a checkpointed run mid-video, rerun: the resumed run recomputes
     only the ±6-pair halo and the final funscript is BITWISE identical to
     an uninterrupted run (io/checkpoint.py contract). The reference's only
-    resume is whole-file skip-if-exists (:1105-1109)."""
+    resume is whole-file skip-if-exists (:1105-1109). Covered for both
+    decode engines: "fast" (the default) relies on the pump's
+    range-slice == full-read-slice invariant (tested bitwise in
+    test_native_runtime), "exact" on cv2-identical sequential decode."""
     import shutil
 
     from funscript_flow_tpu.io import checkpoint as ck
@@ -319,7 +323,7 @@ def test_checkpoint_resume_bitwise(clip, tmp_path, monkeypatch):
     shutil.copyfile(clip, vid)
     out = vid.replace(".mp4", ".funscript")
     params = Params(overwrite=True, signal_backend="host", pair_batch=24,
-                    decode_quality="exact", checkpoint=True)
+                    decode_quality=quality, checkpoint=True)
 
     # uninterrupted baseline
     err = process_video(vid, params, lambda m: None)
@@ -354,6 +358,39 @@ def test_checkpoint_resume_bitwise(clip, tmp_path, monkeypatch):
     assert any("Resuming from checkpoint" in ln for ln in logs), logs
     assert open(out, "rb").read() == baseline
     assert not os.path.exists(sidecar)
+
+
+def test_cancel_at_source_poll_not_mistaken_for_eof(clip, tmp_path):
+    """A cancel observed by the FRAME SOURCE (NativeFrameSource.get_batch
+    polls the flag and returns [] after fp_cancel) must not be read as
+    end-of-video by the runner loop: before the fix, that poll-site parity
+    silently wrote a TRUNCATED funscript and reported success. Pinned to
+    the native fast engine, whose only poll site is get_batch entry, so
+    the poll sequence is deterministic: loop-top(1), get_batch(2),
+    loop-top(3), get_batch(4) -> flag fires at the source."""
+    import shutil
+
+    from funscript_flow_tpu import runtime as native_rt
+
+    if not native_rt.available():
+        pytest.skip("native frame pump not built")
+
+    vid = str(tmp_path / "srccancel_clip.mp4")
+    shutil.copyfile(clip, vid)
+    out = vid.replace(".mp4", ".funscript")
+    params = Params(overwrite=True, signal_backend="host", pair_batch=24,
+                    decode_quality="fast", use_native_decode="on")
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 3  # poll 4 = the source's get_batch entry poll
+
+    logs = []
+    err = process_video(vid, params, logs.append, cancel_flag=cancel)
+    assert not err  # cancel is not an error
+    assert not os.path.exists(out)  # no truncated output written
+    assert any("cancelled" in ln.lower() for ln in logs), logs
 
 
 def test_checkpoint_stale_sidecar_ignored(clip, tmp_path):

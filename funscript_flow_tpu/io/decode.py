@@ -228,9 +228,10 @@ class ShardedFrameSource:
     """
 
     def __init__(self, factory, n_samples: int, shards: int, depth: int = 512,
-                 gray: bool = False):
+                 gray: bool = False, cancel_flag=None):
         # below ~32 samples a shard isn't worth its seek; clamp shard count
         self._gray = gray
+        self._cancel = cancel_flag
         shards = max(1, min(shards, max(1, n_samples // 32)))
         bounds = np.linspace(0, n_samples, shards + 1).astype(int)
         self._subs = []
@@ -253,6 +254,12 @@ class ShardedFrameSource:
                 out.extend(got)
                 self._got_in_cur += len(got)
                 continue
+            if self._cancel is not None and self._cancel():
+                # the shard stopped because of a cancel, not a short
+                # container — black-filling its remainder would fabricate
+                # frames (and a --checkpoint save could persist the
+                # fabricated pairs, breaking bitwise resume)
+                break
             missing = self._expect[self._cur] - self._got_in_cur
             if missing > 0 and self._cur < len(self._subs) - 1:
                 if black is None:

@@ -347,8 +347,14 @@ class StreamingFlowAnalyzer:
             e = min(self._s + self.cfg.pair_batch * self._D, n_total)
             self._dispatch(e, n_total)
         out = self._drain(keep=0)
-        self._pool.shutdown(wait=False)
+        self.close()
         return out
+
+    def close(self) -> None:
+        """Release the uploader thread. Idempotent; called by flush() on the
+        normal path — cancel paths that stop before flush must call it too,
+        or every cancelled video leaks one pool worker until exit."""
+        self._pool.shutdown(wait=False)
 
     @property
     def pairs_emitted(self) -> int:

@@ -231,7 +231,8 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func,
         return factory(start_sample, -1, params.batch_size)
     if shards > 1:
         return iodec.ShardedFrameSource(
-            factory, n_samples, shards, depth=params.batch_size, gray=True
+            factory, n_samples, shards, depth=params.batch_size, gray=True,
+            cancel_flag=cancel_flag,
         )
     return factory(0, -1, params.batch_size)
 
@@ -464,6 +465,7 @@ def process_video(video_path: str, params: Params, log_func,
         return True
     finally:
         source.close()
+        analyzer.close()
 
     n_local = analyzer.pairs_emitted
     n_pairs = len(prefix_dots) + max(0, n_local - discard)

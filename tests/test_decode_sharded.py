@@ -97,6 +97,36 @@ def test_shard_count_clamped_for_tiny_clips(clip):
     src.close()
 
 
+def test_sharded_cancel_not_black_filled(clip):
+    """A cancel makes every shard stop early; the gap-fill logic (which
+    exists for genuinely short containers) must NOT mistake that for a
+    short shard and fabricate black frames — under --checkpoint the
+    fabricated pairs would be persisted, breaking bitwise resume."""
+    meta = iodec.probe(clip)
+    n = len(meta.sampled_indices)
+    cancelled = {"v": False}
+
+    def factory(start, count, depth):
+        return iodec.PrefetchingFrameSource(
+            clip, meta, depth=depth, start_sample=start, max_samples=count,
+            cancel_flag=lambda: cancelled["v"],
+        )
+
+    src = iodec.ShardedFrameSource(factory, n, 2,
+                                   cancel_flag=lambda: cancelled["v"])
+    first = src.get_batch(10)
+    assert len(first) == 10
+    cancelled["v"] = True
+    # drain: whatever still arrives must be real decoded frames, never the
+    # all-black fill (the fixture has a bright circle in every frame)
+    while True:
+        got = src.get_batch(16)
+        if not got:
+            break
+        assert all(f.max() > 0 for f in got)
+    src.close()
+
+
 def test_gray_decode_paths_bit_identical(clip):
     """gray=True decode (production) == cv2 gray of the RGB decode, for both
     the Python and native sources; and the device program yields identical

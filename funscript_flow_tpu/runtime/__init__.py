@@ -311,16 +311,22 @@ class VideoEncoder:
             pass
 
 
-def encoder_available(codec: str = "libx264") -> bool:
-    """True when the native encoder can open ``codec`` (probed cheaply)."""
+def encoder_available(codec: str = "libx264", ext: str = "mp4") -> bool:
+    """True when the native encoder can open ``codec`` (probed cheaply).
+
+    ``ext`` picks the probe container — codecs like wmv2/flv1 have no mp4
+    codec tag, so probing them inside .mp4 would report False even when the
+    encoder exists."""
     import tempfile
 
     lib = _load()
     if lib is None:
         return False
     with tempfile.TemporaryDirectory() as d:
-        h = lib.fe_open(os.path.join(d, "p.mp4").encode(), 64, 64, 30, 1,
-                        codec.encode(), 0, -1)
+        # bframes=0: availability must not hinge on B-frame support (wmv2
+        # and flv1 reject max_b_frames > 0)
+        h = lib.fe_open(os.path.join(d, f"p.{ext}").encode(), 64, 64, 30, 1,
+                        codec.encode(), 0, 0)
         if not h:
             return False
         lib.fe_close(h)

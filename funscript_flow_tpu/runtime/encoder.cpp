@@ -107,12 +107,25 @@ struct Encoder {
       av_opt_set(ctx->priv_data, "cpu-used", "8", 0);
       av_opt_set(ctx->priv_data, "crf", "30", 0);
       ctx->bit_rate = 0;
+    } else if (std::strcmp(codec_name, "mpeg2video") == 0 ||
+               std::strcmp(codec_name, "mpeg1video") == 0) {
+      // .mpg/.ts fixtures: the MPEG-PS muxer models a CBR channel; without
+      // encoder rate control it logs a "buffer underflow" per GOP. DVD-ish
+      // VBV settings keep the program stream well-formed.
+      ctx->bit_rate = 6000000;
+      ctx->rc_max_rate = 6000000;
+      ctx->rc_buffer_size = 1835008;
     }
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
       ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     if (avcodec_open2(ctx, codec, nullptr) < 0) return false;
     if (avcodec_parameters_from_context(st->codecpar, ctx) < 0) return false;
     st->time_base = ctx->time_base;
+    // Matroska stores timestamps in milliseconds; without the stream frame
+    // rate the muxer writes no DefaultDuration and a 30 fps clip probes as
+    // 1000/33 = 30.3 fps with an off-by-one frame count (enough to flip
+    // step=ceil(fps/30) to 2). Real-world muxers set it; so do we.
+    st->avg_frame_rate = ctx->framerate;
     if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
         avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
       return false;

@@ -145,6 +145,14 @@ struct LavDecoder {
   // always decode (AVDISCARD_DEFAULT), so emitted frames are unaffected.
   int skip_step = 1;
   long long skip_first = 0;
+  // pts->index calibration: containers that synthesize pts from dts under
+  // B-frame reorder delay (AVI) label every displayed frame one tick late,
+  // which would shift the sampling grid for step > 1 and break the
+  // range-slice == full-read-slice invariant. The first displayed frame is
+  // by definition index 0; whatever raw index it reports is the offset.
+  long long idx_offset = 0;
+  bool pending = false;  // frm holds an undelivered frame (open calibration
+                         // or seek verification); next_frame() returns it
 
   ~LavDecoder() { close(); }
 
@@ -156,7 +164,7 @@ struct LavDecoder {
   }
 
   long long pts_to_index(int64_t ts) const {
-    return std::llround((ts - stream_start) * av_q2d(tb) * fps);
+    return std::llround((ts - stream_start) * av_q2d(tb) * fps) - idx_offset;
   }
 
   bool open(const char* path, bool vr_mode) {
@@ -217,27 +225,51 @@ struct LavDecoder {
     }
     pkt = av_packet_alloc();
     frm = av_frame_alloc();
-    return pkt && frm;
+    if (!pkt || !frm) return false;
+    // Calibrate idx_offset from the first displayed frame (see the field
+    // comment). skip_step is still 1 here, so nothing is grid-dropped. The
+    // frame stays pending, so full reads lose nothing and range opens just
+    // discard it at seek_to().
+    if (next_frame()) {
+      idx_offset = frame_idx;  // raw: idx_offset was 0 inside pts_to_index
+      frame_idx = 0;
+      pending = true;
+    }
+    return true;
   }
 
-  // Frame-accurate positioning: keyframe seek, then decode-skip. Sets
-  // frame_idx so the next next_frame() yields presentation index >= target
-  // (callers keep skipping until the index matches their sampling grid).
+  // Frame-accurate positioning: keyframe seek, decode-verified. Leaves the
+  // first decoded frame (index <= target) pending so the caller's skip loop
+  // advances from it to the exact target.
   bool seek_to(long long target) {
     if (target <= 0) return true;
-    // Exact rational rescale, rounded DOWN: frame i's timestamp is
-    // i * (1/frame_rate) in tb units. llround(fps * tb.num) could round the
-    // denominator down for non-broadcast rates (~12.3 fps), overshooting the
-    // target so AVSEEK_FLAG_BACKWARD lands past it and the range shard
-    // silently emits later frames. Rounding down at worst lands one frame
-    // early, which the decode-skip loop absorbs.
-    const int64_t ts = stream_start + av_rescale_q_rnd(
-        target, av_inv_q(frame_rate), tb, AV_ROUND_DOWN);
-    if (av_seek_frame(fmt, vs, ts, AVSEEK_FLAG_BACKWARD) < 0) return false;
-    avcodec_flush_buffers(ctx);
-    draining = false;
-    frame_idx = -1;  // re-derived from the first decoded frame's pts
-    return true;
+    long long back = 0;
+    while (true) {
+      long long t = target - back;
+      if (t < 0) t = 0;
+      // Exact rational rescale, rounded DOWN: frame i's timestamp is
+      // i * (1/frame_rate) in tb units. llround(fps * tb.num) could round
+      // the denominator down for non-broadcast rates (~12.3 fps),
+      // overshooting the target. Rounding down at worst lands one frame
+      // early, which the decode-skip loop absorbs.
+      const int64_t ts = stream_start + av_rescale_q_rnd(
+          t + idx_offset, av_inv_q(frame_rate), tb, AV_ROUND_DOWN);
+      if (av_seek_frame(fmt, vs, ts, AVSEEK_FLAG_BACKWARD) < 0) return false;
+      avcodec_flush_buffers(ctx);
+      draining = false;
+      pending = false;
+      frame_idx = -1;  // re-derived from the first decoded frame's pts
+      if (t == 0) return true;  // stream start: nothing earlier exists
+      // Decode-verify: MPEG-PS/TS carry no keyframe index, so BACKWARD can
+      // land *past* the target and the range shard would silently emit
+      // later frames. Reference frames always decode (grid-skip only drops
+      // non-refs), so the keyframe at/below the landing point comes out.
+      if (next_frame() && frame_idx <= target) {
+        pending = true;
+        return true;
+      }
+      back = back == 0 ? (long long)(fps > 0.0 ? fps : 30.0) : back * 4;
+    }
   }
 
   // Decodes the next (undropped) frame in presentation order into frm;
@@ -245,6 +277,10 @@ struct LavDecoder {
   // available (required once grid-skip may drop frames between two emitted
   // ones), falling back to increment for timestamp-less streams.
   bool next_frame() {
+    if (pending) {
+      pending = false;
+      return true;
+    }
     while (true) {
       int r = avcodec_receive_frame(ctx, frm);
       if (r == 0) {

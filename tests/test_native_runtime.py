@@ -380,3 +380,87 @@ def test_webm_range_decode_bitwise(webm_clip):
                                                   fast=True, start_sample=37,
                                                   max_samples=30))
     np.testing.assert_array_equal(part, full[37:67])
+
+
+# ---------------------------------------------------------------------------
+# Container/codec matrix — the rest of the reference's extension whitelist
+# (FunscriptFlow.pyw:28-29: .avi .mov .mkv .m4v .wmv .flv .mpg .mpeg .ts;
+# .mp4/.webm families covered above). Each container carries its era's
+# dominant codec; wmv2/flv1/mpeg2 are mpegvideo-family, so the fast engine's
+# genuine lowres (half-res) decode path runs, while mov/mkv take the h264
+# path. .mpeg is the same MPEG-PS demuxer as .mpg and is not repeated.
+# ---------------------------------------------------------------------------
+
+_CONTAINER_MATRIX = [
+    ("avi", "mpeg4", 2),
+    ("mov", "libx264", 3),
+    ("mkv", "libx264", 3),
+    ("m4v", "mpeg4", 2),
+    ("wmv", "wmv2", 0),       # ASF container; WMV8 has no B-frames
+    ("flv", "flv", 0),        # FLV1/Sorenson H.263; no B-frames
+    ("mpg", "mpeg2video", 2),  # MPEG-PS
+    ("ts", "mpeg2video", 2),   # MPEG-TS (no global duration/frame count)
+]
+
+
+@pytest.fixture(scope="module", params=_CONTAINER_MATRIX,
+                ids=[f"{e}_{c}" for e, c, _ in _CONTAINER_MATRIX])
+def matrix_clip(tmp_path_factory, request):
+    ext, codec, bframes = request.param
+    if not native_rt.encoder_available(codec, ext=ext):
+        pytest.skip(f"{codec} encoder not available")
+    d = tmp_path_factory.mktemp("matrix")
+    frames = ref.make_synthetic_frames(120, h=200, w=320, period=12, seed=13)
+    p = str(d / f"clip_{codec}.{ext}")
+    with native_rt.VideoEncoder(p, 320, 200, 30.0, codec=codec,
+                                gop=25, bframes=bframes) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))  # RGB -> BGR
+    return p
+
+
+def test_matrix_probe_exact(matrix_clip):
+    """Every whitelisted container probes the right frame count and rate —
+    incl. matroska (ms-quantized timestamps need the DefaultDuration the
+    encoder now writes) and MPEG-TS (no container frame count at all).
+    MPEG-PS has no per-stream frame count OR duration, so the count is a
+    mux-timestamp estimate (cv2 reports the same 118 the reference would
+    see) — exactness is required everywhere else."""
+    meta = iodec.probe(matrix_clip)
+    assert meta.fps == 30.0
+    assert meta.step == 1
+    if matrix_clip.endswith(".mpg"):
+        assert 117 <= meta.total_frames <= 121
+    else:
+        assert meta.total_frames == 120
+
+
+def test_matrix_fast_engine_close_to_exact(matrix_clip):
+    """Fast engine vs exact engine across the container matrix: same frame
+    count/alignment, bounded residual (lowres half-res decode for the
+    mpegvideo-family codecs; luma-only everywhere)."""
+    meta = iodec.probe(matrix_clip)
+    fa_src = native_rt.NativeFrameSource(matrix_clip, meta, gray=True,
+                                         fast=True)
+    assert fa_src.is_fast
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(matrix_clip, meta, gray=True))
+    n = len(meta.sampled_indices)  # PS: duration-estimated, may be < 120
+    assert ex.shape == fa.shape == (n, 256, 256)
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 4.5
+    assert np.abs(d).max() <= 48
+
+
+def test_matrix_range_decode_bitwise(matrix_clip):
+    """Keyframe seek + pre-roll preserves range-slice == full-read-slice in
+    every container (sharded decode's invariant), incl. PS/TS timestamp
+    discontinuity handling and ASF's packet-level seeking."""
+    meta = iodec.probe(matrix_clip)
+    full = collect_np(native_rt.NativeFrameSource(matrix_clip, meta,
+                                                  gray=True, fast=True))
+    part = collect_np(native_rt.NativeFrameSource(matrix_clip, meta,
+                                                  gray=True, fast=True,
+                                                  start_sample=37,
+                                                  max_samples=30))
+    np.testing.assert_array_equal(part, full[37:67])

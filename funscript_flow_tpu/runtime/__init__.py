@@ -103,6 +103,10 @@ def _bind(lib):
     lib.fe_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                             ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
                             ctypes.c_int, ctypes.c_int]
+    lib.fe_open_fmt.restype = ctypes.c_void_p
+    lib.fe_open_fmt.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
     lib.fe_write.restype = ctypes.c_int
     lib.fe_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.fe_close.restype = ctypes.c_longlong
@@ -269,7 +273,11 @@ class VideoEncoder:
     """
 
     def __init__(self, path: str, w: int, h: int, fps: float,
-                 codec: str = "libx264", gop: int = 250, bframes: int = 3):
+                 codec: str = "libx264", gop: int = 250, bframes: int = 3,
+                 pix_fmt: str = ""):
+        """``pix_fmt``: libav pixel format name; "" -> yuv420p. Use e.g.
+        ``yuv420p10le`` for 10-bit fixtures (the encoder must support it —
+        open fails otherwise rather than silently converting)."""
         lib = _load()
         if lib is None:
             raise RuntimeError("libframe_pump.so not available (build failed)")
@@ -277,11 +285,12 @@ class VideoEncoder:
         from fractions import Fraction
 
         fr = Fraction(fps).limit_denominator(1001)
-        self._h = lib.fe_open(path.encode(), int(w), int(h),
-                              fr.numerator, fr.denominator,
-                              codec.encode(), int(gop), int(bframes))
+        self._h = lib.fe_open_fmt(path.encode(), int(w), int(h),
+                                  fr.numerator, fr.denominator,
+                                  codec.encode(), int(gop), int(bframes),
+                                  pix_fmt.encode())
         if not self._h:
-            raise IOError(f"Cannot open encoder {codec} for {path}")
+            raise IOError(f"Cannot open encoder {codec} ({pix_fmt or 'yuv420p'}) for {path}")
         self._shape = (h, w, 3)
 
     def write(self, bgr: np.ndarray) -> None:
@@ -311,12 +320,14 @@ class VideoEncoder:
             pass
 
 
-def encoder_available(codec: str = "libx264", ext: str = "mp4") -> bool:
+def encoder_available(codec: str = "libx264", ext: str = "mp4",
+                      pix_fmt: str = "") -> bool:
     """True when the native encoder can open ``codec`` (probed cheaply).
 
     ``ext`` picks the probe container — codecs like wmv2/flv1 have no mp4
     codec tag, so probing them inside .mp4 would report False even when the
-    encoder exists."""
+    encoder exists. ``pix_fmt`` probes e.g. 10-bit support ("yuv420p10le";
+    distro x264/x265 builds vary)."""
     import tempfile
 
     lib = _load()
@@ -325,8 +336,8 @@ def encoder_available(codec: str = "libx264", ext: str = "mp4") -> bool:
     with tempfile.TemporaryDirectory() as d:
         # bframes=0: availability must not hinge on B-frame support (wmv2
         # and flv1 reject max_b_frames > 0)
-        h = lib.fe_open(os.path.join(d, f"p.{ext}").encode(), 64, 64, 30, 1,
-                        codec.encode(), 0, 0)
+        h = lib.fe_open_fmt(os.path.join(d, f"p.{ext}").encode(), 64, 64,
+                            30, 1, codec.encode(), 0, 0, pix_fmt.encode())
         if not h:
             return False
         lib.fe_close(h)

@@ -20,6 +20,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
@@ -69,13 +70,29 @@ struct Encoder {
   }
 
   bool open(const char* path, int width, int height, int fps_num, int fps_den,
-            const char* codec_name, int gop, int bframes) {
+            const char* codec_name, int gop, int bframes,
+            const char* pix_fmt_name) {
     w = width;
     h = height;
     if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0)
       return false;
     const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) return false;
+    // pixel format: default 8-bit 4:2:0; callers may request e.g.
+    // yuv420p10le for 10-bit fixtures (modern hevc/h264 libraries) — the
+    // request must be one the encoder itself supports, or open fails
+    // cleanly rather than silently re-converting
+    AVPixelFormat pf = AV_PIX_FMT_YUV420P;
+    if (pix_fmt_name && pix_fmt_name[0]) {
+      pf = av_get_pix_fmt(pix_fmt_name);
+      if (pf == AV_PIX_FMT_NONE) return false;
+      bool ok = false;
+      if (codec->pix_fmts)
+        for (const AVPixelFormat* p = codec->pix_fmts; *p != AV_PIX_FMT_NONE;
+             p++)
+          ok |= (*p == pf);
+      if (!ok) return false;
+    }
     st = avformat_new_stream(fmt, nullptr);
     ctx = avcodec_alloc_context3(codec);
     if (!st || !ctx) return false;
@@ -83,7 +100,7 @@ struct Encoder {
     ctx->height = h;
     ctx->time_base = AVRational{fps_den, fps_num};
     ctx->framerate = AVRational{fps_num, fps_den};
-    ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    ctx->pix_fmt = pf;
     ctx->gop_size = gop > 0 ? gop : 250;
     ctx->max_b_frames = bframes >= 0 ? bframes : 3;
     if (std::strcmp(codec_name, "libx264") == 0) {
@@ -134,11 +151,11 @@ struct Encoder {
     frm = av_frame_alloc();
     pkt = av_packet_alloc();
     if (!frm || !pkt) return false;
-    frm->format = AV_PIX_FMT_YUV420P;
+    frm->format = pf;
     frm->width = w;
     frm->height = h;
     if (av_frame_get_buffer(frm, 0) < 0) return false;
-    sws = sws_getContext(w, h, AV_PIX_FMT_BGR24, w, h, AV_PIX_FMT_YUV420P,
+    sws = sws_getContext(w, h, AV_PIX_FMT_BGR24, w, h, pf,
                          SWS_BILINEAR, nullptr, nullptr, nullptr);
     return sws != nullptr;
   }
@@ -170,16 +187,24 @@ struct Encoder {
 extern "C" {
 
 // Returns a handle, or null. codec: "libx264" | "mpeg4" | any libavcodec
-// encoder name. gop <= 0 -> 250 (long GOP); bframes < 0 -> 3.
-void* fe_open(const char* path, int w, int h, int fps_num, int fps_den,
-              const char* codec, int gop, int bframes) {
+// encoder name. gop <= 0 -> 250 (long GOP); bframes < 0 -> 3. pix_fmt:
+// libav pixel format name ("yuv420p10le", ...); null/"" -> yuv420p.
+void* fe_open_fmt(const char* path, int w, int h, int fps_num, int fps_den,
+                  const char* codec, int gop, int bframes,
+                  const char* pix_fmt) {
   av_log_set_level(AV_LOG_ERROR);
   auto* e = new Encoder();
-  if (!e->open(path, w, h, fps_num, fps_den, codec, gop, bframes)) {
+  if (!e->open(path, w, h, fps_num, fps_den, codec, gop, bframes, pix_fmt)) {
     delete e;
     return nullptr;
   }
   return e;
+}
+
+void* fe_open(const char* path, int w, int h, int fps_num, int fps_den,
+              const char* codec, int gop, int bframes) {
+  return fe_open_fmt(path, w, h, fps_num, fps_den, codec, gop, bframes,
+                     nullptr);
 }
 
 // One BGR24 frame (h rows of 3*w bytes). Returns 1 on success.

@@ -39,6 +39,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
@@ -50,6 +51,7 @@ extern "C" {
 #include <deque>
 #include <mutex>
 #include <thread>
+#include <vector>
 #include <vector>
 
 namespace {
@@ -137,6 +139,7 @@ struct LavDecoder {
   unsigned char lut[256];
   bool use_lut = false;
   ResizePlan plan;
+  std::vector<unsigned char> depth_buf;  // 8-bit luma scratch for >8-bit content
   // Grid-aware frame skipping: when set (step > 1), packets whose pts maps
   // off the sampling grid decode with skip_frame = AVDISCARD_NONREF — the
   // decoder drops them outright when they're not reference frames (h264
@@ -345,7 +348,32 @@ struct LavDecoder {
     }
     if (cw <= 0 || ch <= 0) return false;
     if (plan.sw != cw || plan.sh != ch) plan.build(cw, ch);
-    plan.run(frm->data[0] + off, frm->linesize[0], lut, out);
+    const uint8_t* src = frm->data[0] + off;
+    int stride = frm->linesize[0];
+    // >8-bit content (yuv420p10/12: modern hevc/h264 libraries): the luma
+    // plane holds native-endian uint16 samples — narrow to 8 bits with
+    // rounding first, then the shared LUT+resize path. Limited range scales
+    // with the depth (10-bit 64..940 >> 2 -> 16..235), so the 8-bit
+    // expansion LUT stays correct.
+    const AVPixFmtDescriptor* desc =
+        av_pix_fmt_desc_get((AVPixelFormat)frm->format);
+    const int depth = desc ? desc->comp[0].depth : 8;
+    if (depth > 8) {
+      depth_buf.resize((size_t)cw * ch);
+      const int shift = depth - 8, round = 1 << (shift - 1);
+      for (int y = 0; y < ch; y++) {
+        const uint16_t* s =
+            reinterpret_cast<const uint16_t*>(src + (size_t)y * stride);
+        unsigned char* o = depth_buf.data() + (size_t)y * cw;
+        for (int x = 0; x < cw; x++) {
+          const int v = (s[x] + round) >> shift;
+          o[x] = (unsigned char)(v > 255 ? 255 : v);
+        }
+      }
+      src = depth_buf.data();
+      stride = cw;
+    }
+    plan.run(src, stride, lut, out);
     return true;
   }
 };

@@ -464,3 +464,57 @@ def test_matrix_range_decode_bitwise(matrix_clip):
                                                   start_sample=37,
                                                   max_samples=30))
     np.testing.assert_array_equal(part, full[37:67])
+
+
+# ---------------------------------------------------------------------------
+# 10-bit content (yuv420p10): modern hevc/h264 libraries are commonly 10-bit.
+# The exact engine (cv2) converts via swscale; the fast engine narrows the
+# uint16 luma plane to 8 bits with rounding before the shared LUT+resize
+# path (frame_pump.cpp::to_gray). Skipped where the distro x264/x265 build
+# is 8-bit-only.
+# ---------------------------------------------------------------------------
+
+_TENBIT = [("libx264", "yuv420p10le"), ("libx265", "yuv420p10le")]
+
+
+@pytest.fixture(scope="module", params=_TENBIT, ids=[c for c, _ in _TENBIT])
+def tenbit_clip(tmp_path_factory, request):
+    codec, pf = request.param
+    if not native_rt.encoder_available(codec, pix_fmt=pf):
+        pytest.skip(f"{codec} has no {pf} support in this build")
+    d = tmp_path_factory.mktemp("tenbit")
+    frames = ref.make_synthetic_frames(120, h=200, w=320, period=12, seed=3)
+    p = str(d / f"ten_{codec}.mp4")
+    with native_rt.VideoEncoder(p, 320, 200, 30.0, codec=codec, gop=25,
+                                bframes=2, pix_fmt=pf) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))
+    return p
+
+
+def test_tenbit_fast_engine_close_to_exact(tenbit_clip):
+    """Fast engine on 10-bit content: same alignment and the same residual
+    envelope as the 8-bit fast path (not garbage from reading uint16 luma
+    bytes as uint8 — the failure this coverage pins down)."""
+    meta = iodec.probe(tenbit_clip)
+    assert meta.total_frames == 120 and meta.step == 1
+    fa_src = native_rt.NativeFrameSource(tenbit_clip, meta, gray=True,
+                                         fast=True)
+    assert fa_src.is_fast
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(tenbit_clip, meta, gray=True))
+    assert ex.shape == fa.shape == (120, 256, 256)
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 3.0
+    assert np.abs(d).max() <= 24
+
+
+def test_tenbit_range_decode_bitwise(tenbit_clip):
+    meta = iodec.probe(tenbit_clip)
+    full = collect_np(native_rt.NativeFrameSource(tenbit_clip, meta,
+                                                  gray=True, fast=True))
+    part = collect_np(native_rt.NativeFrameSource(tenbit_clip, meta,
+                                                  gray=True, fast=True,
+                                                  start_sample=37,
+                                                  max_samples=30))
+    np.testing.assert_array_equal(part, full[37:67])

@@ -107,6 +107,11 @@ def _bind(lib):
     lib.fe_open_fmt.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
                                 ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
+    lib.fe_open_rot.restype = ctypes.c_void_p
+    lib.fe_open_rot.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+                                ctypes.c_int]
     lib.fe_write.restype = ctypes.c_int
     lib.fe_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.fe_close.restype = ctypes.c_longlong
@@ -274,10 +279,15 @@ class VideoEncoder:
 
     def __init__(self, path: str, w: int, h: int, fps: float,
                  codec: str = "libx264", gop: int = 250, bframes: int = 3,
-                 pix_fmt: str = ""):
+                 pix_fmt: str = "", rotation: int = 0):
         """``pix_fmt``: libav pixel format name; "" -> yuv420p. Use e.g.
         ``yuv420p10le`` for 10-bit fixtures (the encoder must support it —
-        open fails otherwise rather than silently converting)."""
+        open fails otherwise rather than silently converting).
+
+        ``rotation``: display-matrix metadata in degrees, the
+        av_display_rotation_set convention — 90 means players (and cv2
+        auto-orientation) rotate the stored frame 90° CLOCKWISE to display,
+        as phone muxers write for portrait recordings."""
         lib = _load()
         if lib is None:
             raise RuntimeError("libframe_pump.so not available (build failed)")
@@ -285,10 +295,10 @@ class VideoEncoder:
         from fractions import Fraction
 
         fr = Fraction(fps).limit_denominator(1001)
-        self._h = lib.fe_open_fmt(path.encode(), int(w), int(h),
+        self._h = lib.fe_open_rot(path.encode(), int(w), int(h),
                                   fr.numerator, fr.denominator,
                                   codec.encode(), int(gop), int(bframes),
-                                  pix_fmt.encode())
+                                  pix_fmt.encode(), int(rotation))
         if not self._h:
             raise IOError(f"Cannot open encoder {codec} ({pix_fmt or 'yuv420p'}) for {path}")
         self._shape = (h, w, 3)

@@ -19,6 +19,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/display.h>
 #include <libavutil/opt.h>
 #include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
@@ -71,7 +72,7 @@ struct Encoder {
 
   bool open(const char* path, int width, int height, int fps_num, int fps_den,
             const char* codec_name, int gop, int bframes,
-            const char* pix_fmt_name) {
+            const char* pix_fmt_name, int rotation_deg) {
     w = width;
     h = height;
     if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0)
@@ -143,6 +144,14 @@ struct Encoder {
     // 1000/33 = 30.3 fps with an off-by-one frame count (enough to flip
     // step=ceil(fps/30) to 2). Real-world muxers set it; so do we.
     st->avg_frame_rate = ctx->framerate;
+    // Rotation metadata (phone-recorded content): a display matrix on the
+    // stream, exactly as mobile muxers write it. Must precede the header.
+    if (rotation_deg) {
+      uint8_t* sd = av_stream_new_side_data(st, AV_PKT_DATA_DISPLAYMATRIX,
+                                            9 * sizeof(int32_t));
+      if (!sd) return false;
+      av_display_rotation_set(reinterpret_cast<int32_t*>(sd), rotation_deg);
+    }
     if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
         avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
       return false;
@@ -189,22 +198,32 @@ extern "C" {
 // Returns a handle, or null. codec: "libx264" | "mpeg4" | any libavcodec
 // encoder name. gop <= 0 -> 250 (long GOP); bframes < 0 -> 3. pix_fmt:
 // libav pixel format name ("yuv420p10le", ...); null/"" -> yuv420p.
-void* fe_open_fmt(const char* path, int w, int h, int fps_num, int fps_den,
+// rot_deg: display-matrix rotation metadata in degrees (0 = none), the
+// av_display_rotation_set convention (counterclockwise-positive).
+void* fe_open_rot(const char* path, int w, int h, int fps_num, int fps_den,
                   const char* codec, int gop, int bframes,
-                  const char* pix_fmt) {
+                  const char* pix_fmt, int rot_deg) {
   av_log_set_level(AV_LOG_ERROR);
   auto* e = new Encoder();
-  if (!e->open(path, w, h, fps_num, fps_den, codec, gop, bframes, pix_fmt)) {
+  if (!e->open(path, w, h, fps_num, fps_den, codec, gop, bframes, pix_fmt,
+               rot_deg)) {
     delete e;
     return nullptr;
   }
   return e;
 }
 
+void* fe_open_fmt(const char* path, int w, int h, int fps_num, int fps_den,
+                  const char* codec, int gop, int bframes,
+                  const char* pix_fmt) {
+  return fe_open_rot(path, w, h, fps_num, fps_den, codec, gop, bframes,
+                     pix_fmt, 0);
+}
+
 void* fe_open(const char* path, int w, int h, int fps_num, int fps_den,
               const char* codec, int gop, int bframes) {
-  return fe_open_fmt(path, w, h, fps_num, fps_den, codec, gop, bframes,
-                     nullptr);
+  return fe_open_rot(path, w, h, fps_num, fps_den, codec, gop, bframes,
+                     nullptr, 0);
 }
 
 // One BGR24 frame (h rows of 3*w bytes). Returns 1 on success.

@@ -38,6 +38,7 @@
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
+#include <libavutil/display.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
@@ -121,6 +122,36 @@ struct ResizePlan {
   }
 };
 
+// Clockwise display rotation {0,90,180,270} from a stream's display-matrix
+// side data. av_display_rotation_get returns counterclockwise degrees;
+// verified against players/cv2 5.x: a phone portrait clip (mp4 rotate tag
+// 90) yields theta=-90 here and displays rotated 90 clockwise.
+static int stream_rotation_cw(AVStream* st) {
+  const uint8_t* sd =
+      av_stream_get_side_data(st, AV_PKT_DATA_DISPLAYMATRIX, nullptr);
+  if (!sd) return 0;
+  const double theta =
+      av_display_rotation_get(reinterpret_cast<const int32_t*>(sd));
+  const int r = ((-(int)std::lround(theta)) % 360 + 360) % 360;
+  return (r % 90 == 0) ? r : 0;  // shear matrices (rare): ignore, as players do
+}
+
+// Same, opening ``path`` fresh — for the exact (OpenCV) engine, whose
+// VideoCapture exposes rotation only through version-inconsistent
+// properties (see fp_open_impl).
+static int display_rotation_cw(const char* path) {
+  AVFormatContext* f = nullptr;
+  if (avformat_open_input(&f, path, nullptr, nullptr) < 0) return 0;
+  int rot = 0;
+  if (avformat_find_stream_info(f, nullptr) >= 0) {
+    const int vs = av_find_best_stream(f, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                       nullptr, 0);
+    if (vs >= 0) rot = stream_rotation_cw(f->streams[vs]);
+  }
+  avformat_close_input(&f);
+  return rot;
+}
+
 struct LavDecoder {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* ctx = nullptr;
@@ -140,6 +171,12 @@ struct LavDecoder {
   bool use_lut = false;
   ResizePlan plan;
   std::vector<unsigned char> depth_buf;  // 8-bit luma scratch for >8-bit content
+  std::vector<unsigned char> rot_buf;    // rotated-plane scratch
+  // Display-matrix rotation normalized to {0, 90, 180, 270}, where the
+  // value is the CLOCKWISE rotation that produces the displayed frame —
+  // cv2's auto-orientation (the exact engine and the reference's decoder)
+  // applies it, so the fast engine must match frame-for-frame.
+  int rot = 0;
   // Grid-aware frame skipping: when set (step > 1), packets whose pts maps
   // off the sampling grid decode with skip_frame = AVDISCARD_NONREF — the
   // decoder drops them outright when they're not reference frames (h264
@@ -184,6 +221,11 @@ struct LavDecoder {
     src_w = st->codecpar->width;
     src_h = st->codecpar->height;
     if (src_w <= 0 || src_h <= 0) return false;
+
+    // Display-matrix rotation: reported metadata (and the VR crop) are in
+    // DISPLAY orientation, like cv2 >= 4.7 auto-orientation reports them.
+    rot = stream_rotation_cw(st);
+    if (rot == 90 || rot == 270) std::swap(src_w, src_h);
 
     // Largest lowres level that still covers the analysis plane: the decoded
     // frame (VR: its bottom-left quadrant) must stay >= 256 per side.
@@ -336,44 +378,88 @@ struct LavDecoder {
   // bilinear resize — the same order as cv2's YUV->BGR(+expand)->resize
   // chain, and bit-identical to cv2.resize(INTER_LINEAR) on the expanded
   // luma plane (sws_scale's bilinear was only close, not equal).
+  // Narrow a >8-bit luma region (native-endian uint16 samples) to 8 bits
+  // with rounding into depth_buf. Limited range scales with the depth
+  // (10-bit 64..940 >> 2 -> 16..235), so the 8-bit expansion LUT stays
+  // correct downstream.
+  void narrow_region(const uint8_t* src, int stride, int rw, int rh,
+                     int depth) {
+    depth_buf.resize((size_t)rw * rh);
+    const int shift = depth - 8, round = 1 << (shift - 1);
+    for (int y = 0; y < rh; y++) {
+      const uint16_t* s =
+          reinterpret_cast<const uint16_t*>(src + (size_t)y * stride);
+      unsigned char* o = depth_buf.data() + (size_t)y * rw;
+      for (int x = 0; x < rw; x++) {
+        const int v = (s[x] + round) >> shift;
+        o[x] = (unsigned char)(v > 255 ? 255 : v);
+      }
+    }
+  }
+
+  // Rotate an 8-bit plane clockwise by ``rot`` degrees into rot_buf,
+  // updating w/h to the display orientation.
+  void rotate_plane(const unsigned char* src, int stride, int& w, int& h) {
+    rot_buf.resize((size_t)w * h);
+    if (rot == 180) {
+      for (int i = 0; i < h; i++) {
+        const unsigned char* s = src + (size_t)(h - 1 - i) * stride;
+        unsigned char* o = rot_buf.data() + (size_t)i * w;
+        for (int j = 0; j < w; j++) o[j] = s[w - 1 - j];
+      }
+      return;
+    }
+    const int W = w, H = h;  // output: W rows x H cols
+    for (int i = 0; i < W; i++) {
+      unsigned char* o = rot_buf.data() + (size_t)i * H;
+      if (rot == 90) {  // clockwise: dst[i][j] = src[H-1-j][i]
+        for (int j = 0; j < H; j++)
+          o[j] = src[(size_t)(H - 1 - j) * stride + i];
+      } else {  // 270 = counterclockwise: dst[i][j] = src[j][W-1-i]
+        for (int j = 0; j < H; j++) o[j] = src[(size_t)j * stride + (W - 1 - i)];
+      }
+    }
+    w = H;
+    h = W;
+  }
+
   bool to_gray(unsigned char* out, bool vr_mode) {
-    const int w = frm->width, h = frm->height;
+    int w = frm->width, h = frm->height;
     if (w <= 0 || h <= 0 || !frm->data[0]) return false;
+    const uint8_t* src = frm->data[0];
+    int stride = frm->linesize[0];
+    const AVPixFmtDescriptor* desc =
+        av_pix_fmt_desc_get((AVPixelFormat)frm->format);
+    const int depth = desc ? desc->comp[0].depth : 8;
+    if (rot != 0) {
+      // rotation needs the full plane: narrow it all (if >8-bit), rotate,
+      // then crop in display orientation
+      if (depth > 8) {
+        narrow_region(src, stride, w, h, depth);
+        src = depth_buf.data();
+        stride = w;
+      }
+      rotate_plane(src, stride, w, h);
+      src = rot_buf.data();
+      stride = w;
+    }
     int cw = w, ch = h;
     size_t off = 0;
     if (vr_mode) {
       cw = w / 2;
       ch = h - h / 2;
-      off = (size_t)(h / 2) * frm->linesize[0];
+      off = (size_t)(h / 2) * stride;
     }
     if (cw <= 0 || ch <= 0) return false;
-    if (plan.sw != cw || plan.sh != ch) plan.build(cw, ch);
-    const uint8_t* src = frm->data[0] + off;
-    int stride = frm->linesize[0];
-    // >8-bit content (yuv420p10/12: modern hevc/h264 libraries): the luma
-    // plane holds native-endian uint16 samples — narrow to 8 bits with
-    // rounding first, then the shared LUT+resize path. Limited range scales
-    // with the depth (10-bit 64..940 >> 2 -> 16..235), so the 8-bit
-    // expansion LUT stays correct.
-    const AVPixFmtDescriptor* desc =
-        av_pix_fmt_desc_get((AVPixelFormat)frm->format);
-    const int depth = desc ? desc->comp[0].depth : 8;
-    if (depth > 8) {
-      depth_buf.resize((size_t)cw * ch);
-      const int shift = depth - 8, round = 1 << (shift - 1);
-      for (int y = 0; y < ch; y++) {
-        const uint16_t* s =
-            reinterpret_cast<const uint16_t*>(src + (size_t)y * stride);
-        unsigned char* o = depth_buf.data() + (size_t)y * cw;
-        for (int x = 0; x < cw; x++) {
-          const int v = (s[x] + round) >> shift;
-          o[x] = (unsigned char)(v > 255 ? 255 : v);
-        }
-      }
+    if (rot == 0 && depth > 8) {
+      // no rotation: narrow only the cropped region (half the work for VR)
+      narrow_region(src + off, stride, cw, ch, depth);
       src = depth_buf.data();
       stride = cw;
+      off = 0;
     }
-    plan.run(src, stride, lut, out);
+    if (plan.sw != cw || plan.sh != ch) plan.build(cw, ch);
+    plan.run(src + off, stride, lut, out);
     return true;
   }
 };
@@ -391,6 +477,9 @@ struct FramePump {
   double fps = 0.0;
   long long total_frames = 0;
   int src_w = 0, src_h = 0;
+  // exact engine: display rotation applied in preprocess (clockwise deg);
+  // auto-orientation is disabled on the capture (wrong direction in cv 4.6)
+  int exact_rot = 0;
   int step = 1;
   bool vr_mode = false;
   bool gray = false;            // emit 1-channel gray (production path)
@@ -545,7 +634,15 @@ struct FramePump {
     return n < 0 ? 0 : n;
   }
 
-  void preprocess(const cv::Mat& bgr, unsigned char* out) {
+  void preprocess(cv::Mat bgr, unsigned char* out) {
+    if (exact_rot) {  // display rotation, clockwise-degrees convention
+      cv::Mat rotated;
+      cv::rotate(bgr, rotated,
+                 exact_rot == 90    ? cv::ROTATE_90_CLOCKWISE
+                 : exact_rot == 180 ? cv::ROTATE_180
+                                    : cv::ROTATE_90_COUNTERCLOCKWISE);
+      bgr = rotated;
+    }
     // gray output = cv2 BGR2GRAY (BT.601 fixed point), bit-identical to the
     // on-device rgb_to_gray_cv — the production path ships 1/3 the bytes
     cv::Mat dst(kOutSize, kOutSize, gray ? CV_8UC1 : CV_8UC3, out);
@@ -643,10 +740,21 @@ FramePump* fp_open_impl(const char* path, int vr_mode, int step,
     delete p;
     return nullptr;
   }
+  // Display-matrix rotation: system OpenCV 4.6 auto-rotates 90/270 the
+  // WRONG way (fixed upstream in 4.7, opencv#21946), and its
+  // CAP_PROP_ORIENTATION_META uses the opposite angle convention from 5.x
+  // (measured: 270 vs 90 for the same file) — so neither auto mode nor the
+  // META property is trustworthy across versions. Read the display matrix
+  // through libav (stable convention), disable auto-orientation, and
+  // rotate in preprocess() ourselves, matching cv2 >= 4.7 / every player /
+  // the fast engine.
+  p->exact_rot = display_rotation_cw(path);
+  p->cap.set(cv::CAP_PROP_ORIENTATION_AUTO, 0.0);
   p->fps = p->cap.get(cv::CAP_PROP_FPS);
   p->total_frames = static_cast<long long>(p->cap.get(cv::CAP_PROP_FRAME_COUNT));
   p->src_w = static_cast<int>(p->cap.get(cv::CAP_PROP_FRAME_WIDTH));
   p->src_h = static_cast<int>(p->cap.get(cv::CAP_PROP_FRAME_HEIGHT));
+  if (p->exact_rot == 90 || p->exact_rot == 270) std::swap(p->src_w, p->src_h);
   if (p->step <= 0) {  // self-probe (same formula as VideoMeta.step)
     p->step = (int)std::max(1.0, std::ceil(p->fps / 30.0));
   }

@@ -518,3 +518,107 @@ def test_tenbit_range_decode_bitwise(tenbit_clip):
                                                   start_sample=37,
                                                   max_samples=30))
     np.testing.assert_array_equal(part, full[37:67])
+
+
+# ---------------------------------------------------------------------------
+# Rotation metadata (phone recordings): a display matrix on the stream that
+# every player — and cv2 >= 4.7 auto-orientation, i.e. the reference's
+# decoder — applies before display. Both pump engines must match: the fast
+# engine rotates the luma plane itself; the exact engine disables
+# VideoCapture auto-orientation (WRONG direction on system OpenCV 4.6,
+# opencv#21946, and version-inconsistent META convention) and applies the
+# libav-read rotation in preprocess.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module", params=[90, 180, 270],
+                ids=["rot90", "rot180", "rot270"])
+def rotated_clip(tmp_path_factory, request):
+    rot = request.param
+    if not native_rt.encoder_available("libx264"):
+        pytest.skip("libx264 encoder not available")
+    d = tmp_path_factory.mktemp("rot")
+    frames = ref.make_synthetic_frames(90, h=200, w=320, period=12, seed=5)
+    p = str(d / f"rot{rot}.mp4")
+    with native_rt.VideoEncoder(p, 320, 200, 30.0, codec="libx264", gop=25,
+                                bframes=2, rotation=rot) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))
+    return rot, p
+
+
+def test_rotated_probe_display_dims(rotated_clip):
+    """Probe and pump self-probe report DISPLAY orientation dims."""
+    rot, p = rotated_clip
+    meta = iodec.probe(p)
+    want = (200, 320) if rot in (90, 270) else (320, 200)
+    assert (meta.width, meta.height) == want
+    src = native_rt.NativeFrameSource(p, None, gray=True, fast=True)
+    pm = src.meta
+    src.close()
+    assert (pm.width, pm.height) == want
+
+
+def test_rotated_exact_engine_matches_python(rotated_clip):
+    """Pump exact engine == Python path (cv2 5.x correct auto-orientation)
+    bit-for-bit on rotated content."""
+    rot, p = rotated_clip
+    meta = iodec.probe(p)
+    ex = collect_np(native_rt.NativeFrameSource(p, meta, gray=True))
+    py = np.stack(list(iodec.sampled_frames(p, meta, gray=True)))
+    np.testing.assert_array_equal(ex, py)
+
+
+def test_rotated_fast_engine_close_to_exact(rotated_clip):
+    """Fast engine applies the same display rotation — wrong direction (the
+    OpenCV 4.6 bug) or no rotation would blow these bounds by an order of
+    magnitude."""
+    rot, p = rotated_clip
+    meta = iodec.probe(p)
+    fa_src = native_rt.NativeFrameSource(p, meta, gray=True, fast=True)
+    assert fa_src.is_fast
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(p, meta, gray=True))
+    assert fa.shape == ex.shape == (90, 256, 256)
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 3.0
+    assert np.abs(d).max() <= 24
+
+
+def test_rotated_marker_direction(tmp_path):
+    """Direction pin: a block stored top-left with rotate-tag 90 must
+    display top-RIGHT (clockwise), in both engines — catches a
+    clockwise/counterclockwise flip that engine-vs-engine comparison alone
+    would miss if both flipped together."""
+    if not native_rt.encoder_available("libx264"):
+        pytest.skip("libx264 encoder not available")
+    frame = np.zeros((200, 320, 3), np.uint8)
+    frame[:40, :40] = 255
+    p = str(tmp_path / "marker90.mp4")
+    with native_rt.VideoEncoder(p, 320, 200, 30.0, codec="libx264", gop=10,
+                                bframes=0, rotation=90) as enc:
+        for _ in range(10):
+            enc.write(frame)
+    meta = iodec.probe(p)
+
+    def corner(img):
+        q = [img[:64, :64].mean(), img[:64, -64:].mean(),
+             img[-64:, :64].mean(), img[-64:, -64:].mean()]
+        return ["TL", "TR", "BL", "BR"][int(np.argmax(q))]
+
+    for fast in (False, True):
+        src = native_rt.NativeFrameSource(p, meta, gray=True, fast=fast)
+        fr = np.array(src.get_batch(1)[0])
+        src.close()
+        assert corner(fr) == "TR", f"fast={fast}: wrong rotation direction"
+
+
+def test_rotated_range_decode_bitwise(rotated_clip):
+    rot, p = rotated_clip
+    meta = iodec.probe(p)
+    full = collect_np(native_rt.NativeFrameSource(p, meta, gray=True,
+                                                  fast=True))
+    part = collect_np(native_rt.NativeFrameSource(p, meta, gray=True,
+                                                  fast=True,
+                                                  start_sample=31,
+                                                  max_samples=25))
+    np.testing.assert_array_equal(part, full[31:56])

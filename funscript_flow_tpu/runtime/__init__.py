@@ -114,6 +114,9 @@ def _bind(lib):
                                 ctypes.c_int]
     lib.fe_write.restype = ctypes.c_int
     lib.fe_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.fe_write_at.restype = ctypes.c_int
+    lib.fe_write_at.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_longlong]
     lib.fe_close.restype = ctypes.c_longlong
     lib.fe_close.argtypes = [ctypes.c_void_p]
     return lib
@@ -303,11 +306,19 @@ class VideoEncoder:
             raise IOError(f"Cannot open encoder {codec} ({pix_fmt or 'yuv420p'}) for {path}")
         self._shape = (h, w, 3)
 
-    def write(self, bgr: np.ndarray) -> None:
-        """One BGR24 uint8 frame of shape [h, w, 3] (C-contiguous)."""
+    def write(self, bgr: np.ndarray, pts: int | None = None) -> None:
+        """One BGR24 uint8 frame of shape [h, w, 3] (C-contiguous).
+
+        ``pts``: explicit timestamp in 1/fps ticks (strictly increasing) for
+        VFR content; None = CFR at the frame index."""
         assert bgr.shape == self._shape and bgr.dtype == np.uint8
         bgr = np.ascontiguousarray(bgr)
-        if not self._lib.fe_write(self._h, bgr.ctypes.data_as(ctypes.c_void_p)):
+        ok = (self._lib.fe_write(self._h, bgr.ctypes.data_as(ctypes.c_void_p))
+              if pts is None else
+              self._lib.fe_write_at(self._h,
+                                    bgr.ctypes.data_as(ctypes.c_void_p),
+                                    int(pts)))
+        if not ok:
             raise IOError("encode failed")
 
     def close(self) -> int:

@@ -169,12 +169,16 @@ struct Encoder {
     return sws != nullptr;
   }
 
-  bool write(const unsigned char* bgr) {
+  // pts < 0: CFR, frame index in time_base ticks. pts >= 0: explicit
+  // timestamp (VFR fixtures — real phone/stream captures drop frames and
+  // jitter timestamps; tests need representative content).
+  bool write(const unsigned char* bgr, long long pts) {
     if (av_frame_make_writable(frm) < 0) return false;
     const uint8_t* src[4] = {bgr, nullptr, nullptr, nullptr};
     int src_ls[4] = {3 * w, 0, 0, 0};
     sws_scale(sws, src, src_ls, 0, h, frm->data, frm->linesize);
-    frm->pts = n_in++;
+    frm->pts = pts >= 0 ? pts : n_in;
+    n_in++;
     if (avcodec_send_frame(ctx, frm) < 0) return false;
     return drain_packets();
   }
@@ -228,7 +232,13 @@ void* fe_open(const char* path, int w, int h, int fps_num, int fps_den,
 
 // One BGR24 frame (h rows of 3*w bytes). Returns 1 on success.
 int fe_write(void* handle, const unsigned char* bgr) {
-  return static_cast<Encoder*>(handle)->write(bgr) ? 1 : 0;
+  return static_cast<Encoder*>(handle)->write(bgr, -1) ? 1 : 0;
+}
+
+// Same, with an explicit pts in stream time-base ticks (1/fps units) —
+// for VFR fixtures. pts must be strictly increasing across calls.
+int fe_write_at(void* handle, const unsigned char* bgr, long long pts) {
+  return static_cast<Encoder*>(handle)->write(bgr, pts) ? 1 : 0;
 }
 
 // Flush, write trailer, free. Returns frames written (<0 on null handle).

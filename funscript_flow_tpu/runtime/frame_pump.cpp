@@ -602,28 +602,44 @@ struct FramePump {
   }
 
   void run_fast() {
-    const long long first = start_sample * step;
     long long n_samples = sample_budget();
     long long emitted = 0;
+    // Sampling is by TIME slot: slot k wants the frame at presentation
+    // index k*step, and each decoded frame fills every not-yet-filled slot
+    // at or before its index (presentation order is monotonic, so the
+    // first frame with idx >= slot is the nearest-at-or-after candidate).
+    // On CFR content this is exactly "emit frames whose idx is on the
+    // grid". On VFR content it keeps array position == time slot: a
+    // timestamp gap holds the next frame for the missed slots and jitter
+    // collapsing two frames onto one slot drops the later one — the
+    // alternative (emit-by-decode-count, what cv2/the reference do) makes
+    // every action after a camera stall drift by the stalled duration.
+    long long next_grid = start_sample * step;
     while (!cancel.load() && emitted < n_samples) {
       if (!lav.next_frame()) break;  // clean EOF
       const long long idx = lav.frame_idx;
-      if (idx < first || (idx % step) != 0) continue;  // seek pre-roll / unsampled
-      if (direct) {
-        unsigned char* out = slot_acquire();
-        if (!out) break;  // cancelled
-        if (!lav.to_gray(out, vr_mode)) {
-          std::memset(out, 0, frame_bytes());  // black frame on failure
+      if (idx < next_grid) continue;  // seek pre-roll / slot already filled
+      bool stop = false;
+      while (!stop && !cancel.load() && emitted < n_samples &&
+             next_grid <= idx) {
+        if (direct) {
+          unsigned char* out = slot_acquire();
+          if (!out) { stop = true; break; }  // cancelled
+          if (!lav.to_gray(out, vr_mode)) {
+            std::memset(out, 0, frame_bytes());  // black frame on failure
+          }
+          slot_commit();
+        } else {
+          std::vector<unsigned char> buf = take_buffer();
+          if (!lav.to_gray(buf.data(), vr_mode)) {
+            std::memset(buf.data(), 0, frame_bytes());  // black frame on failure
+          }
+          push(std::move(buf));
         }
-        slot_commit();
-      } else {
-        std::vector<unsigned char> buf = take_buffer();
-        if (!lav.to_gray(buf.data(), vr_mode)) {
-          std::memset(buf.data(), 0, frame_bytes());  // black frame on failure
-        }
-        push(std::move(buf));
+        emitted++;
+        next_grid += step;
       }
-      emitted++;
+      if (stop) break;
     }
   }
 

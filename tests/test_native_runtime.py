@@ -622,3 +622,59 @@ def test_rotated_range_decode_bitwise(rotated_clip):
                                                   start_sample=31,
                                                   max_samples=25))
     np.testing.assert_array_equal(part, full[31:56])
+
+
+# ---------------------------------------------------------------------------
+# VFR (variable frame rate) content — phone/stream captures drop frames and
+# jitter timestamps. The fast engine samples by TIME slot (array position k
+# = presentation index k*step): a gap holds the next frame for the missed
+# slots; jitter collapsing two frames onto one slot drops the later one.
+# cv2 (exact engine / reference) samples by decode count instead, which
+# drifts after every stall — the engines legitimately differ per frame on
+# VFR, but both must emit the full budget and the fast engine must keep its
+# sharded-decode invariant.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vfr_clip(tmp_path_factory):
+    if not native_rt.encoder_available("libx264"):
+        pytest.skip("libx264 encoder not available")
+    d = tmp_path_factory.mktemp("vfr")
+    frames = ref.make_synthetic_frames(120, h=200, w=320, period=12, seed=9)
+    p = str(d / "vfr.mp4")
+    with native_rt.VideoEncoder(p, 320, 200, 30.0, codec="libx264", gop=25,
+                                bframes=2) as enc:
+        t = 0
+        for i, f in enumerate(frames):
+            if i % 7 == 3:  # camera frame drop: timestamp gap, no frame
+                t += 1
+                continue
+            enc.write(np.ascontiguousarray(f[..., ::-1]), pts=t)
+            t += 1
+    return p
+
+
+def test_vfr_full_budget_both_engines(vfr_clip):
+    """Both engines emit exactly the probed sample budget on VFR content —
+    the fast engine fills timestamp-gap slots instead of shortening the
+    stream (which would shift every later sample's timing)."""
+    meta = iodec.probe(vfr_clip)
+    assert meta.step == 1
+    fa_src = native_rt.NativeFrameSource(vfr_clip, meta, gray=True, fast=True)
+    assert fa_src.is_fast
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(vfr_clip, meta, gray=True))
+    assert len(fa) == len(ex) == meta.total_frames
+
+
+def test_vfr_range_decode_bitwise(vfr_clip):
+    """Sharded decode's range-slice == full-read-slice invariant holds on
+    VFR: slot indexing is derived from timestamps, identical whether the
+    slot is reached sequentially or via keyframe seek + pre-roll."""
+    meta = iodec.probe(vfr_clip)
+    full = collect_np(native_rt.NativeFrameSource(vfr_clip, meta, gray=True,
+                                                  fast=True))
+    part = collect_np(native_rt.NativeFrameSource(vfr_clip, meta, gray=True,
+                                                  fast=True, start_sample=31,
+                                                  max_samples=20))
+    np.testing.assert_array_equal(part, full[31:51])

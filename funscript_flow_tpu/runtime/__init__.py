@@ -119,7 +119,21 @@ def _bind(lib):
                                 ctypes.c_longlong]
     lib.fe_close.restype = ctypes.c_longlong
     lib.fe_close.argtypes = [ctypes.c_void_p]
+    lib.fe_add_cover.restype = ctypes.c_int
+    lib.fe_add_cover.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     return lib
+
+
+def add_cover_art(src: str, dst: str, jpeg: str, w: int, h: int) -> bool:
+    """Remux ``src`` into ``dst`` with ``jpeg`` as an attached-picture
+    stream (embedded cover art) — fixture machinery for the
+    stream-selection regression tests."""
+    lib = _load()
+    if lib is None:
+        return False
+    return bool(lib.fe_add_cover(src.encode(), dst.encode(), jpeg.encode(),
+                                 int(w), int(h)))
 
 
 def available() -> bool:

@@ -25,6 +25,7 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <cstdio>
 #include <cstring>
 
 namespace {
@@ -239,6 +240,95 @@ int fe_write(void* handle, const unsigned char* bgr) {
 // for VFR fixtures. pts must be strictly increasing across calls.
 int fe_write_at(void* handle, const unsigned char* bgr, long long pts) {
   return static_cast<Encoder*>(handle)->write(bgr, pts) ? 1 : 0;
+}
+
+// Remux ``src`` into ``dst`` adding ``jpeg`` as an attached-picture stream
+// (cover art) — the real-world stream-selection trap: music-video/library
+// files carry an embedded thumbnail as a second, often higher-resolution,
+// video stream with AV_DISPOSITION_ATTACHED_PIC that decoders must NOT
+// pick as the content. Returns 1 on success. dst container must support
+// attachments (mkv does; mp4 maps to covr).
+int fe_add_cover(const char* src_path, const char* dst_path,
+                 const char* jpeg_path, int cover_w, int cover_h) {
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext* in = nullptr;
+  AVFormatContext* out = nullptr;
+  uint8_t* jpeg = nullptr;
+  size_t jpeg_size = 0;
+  int ret = 0;
+  AVPacket* pkt = av_packet_alloc();
+  do {
+    if (!pkt) break;
+    // slurp the jpeg
+    FILE* jf = std::fopen(jpeg_path, "rb");
+    if (!jf) break;
+    std::fseek(jf, 0, SEEK_END);
+    long sz = std::ftell(jf);
+    std::fseek(jf, 0, SEEK_SET);
+    jpeg = (uint8_t*)av_malloc(sz + AV_INPUT_BUFFER_PADDING_SIZE);
+    if (!jpeg || std::fread(jpeg, 1, sz, jf) != (size_t)sz) {
+      std::fclose(jf);
+      break;
+    }
+    std::fclose(jf);
+    jpeg_size = (size_t)sz;
+
+    if (avformat_open_input(&in, src_path, nullptr, nullptr) < 0) break;
+    if (avformat_find_stream_info(in, nullptr) < 0) break;
+    if (avformat_alloc_output_context2(&out, nullptr, nullptr, dst_path) < 0)
+      break;
+    bool ok = true;
+    for (unsigned i = 0; i < in->nb_streams; i++) {
+      AVStream* os = avformat_new_stream(out, nullptr);
+      if (!os ||
+          avcodec_parameters_copy(os->codecpar, in->streams[i]->codecpar) < 0) {
+        ok = false;
+        break;
+      }
+      os->time_base = in->streams[i]->time_base;
+      os->avg_frame_rate = in->streams[i]->avg_frame_rate;
+    }
+    if (!ok) break;
+    AVStream* cs = avformat_new_stream(out, nullptr);
+    if (!cs) break;
+    cs->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
+    cs->codecpar->codec_id = AV_CODEC_ID_MJPEG;
+    cs->codecpar->width = cover_w;
+    cs->codecpar->height = cover_h;
+    cs->disposition = AV_DISPOSITION_ATTACHED_PIC;
+    cs->time_base = AVRational{1, 90000};
+    if (!(out->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&out->pb, dst_path, AVIO_FLAG_WRITE) < 0)
+      break;
+    if (avformat_write_header(out, nullptr) < 0) break;
+    // the cover packet first (demuxers surface it at any position)
+    if (av_new_packet(pkt, (int)jpeg_size) < 0) break;
+    std::memcpy(pkt->data, jpeg, jpeg_size);
+    pkt->stream_index = cs->index;
+    pkt->pts = pkt->dts = 0;
+    pkt->flags |= AV_PKT_FLAG_KEY;
+    if (av_interleaved_write_frame(out, pkt) < 0) break;
+    while (av_read_frame(in, pkt) >= 0) {
+      const int si = pkt->stream_index;
+      av_packet_rescale_ts(pkt, in->streams[si]->time_base,
+                           out->streams[si]->time_base);
+      if (av_interleaved_write_frame(out, pkt) < 0) {
+        ok = false;
+        break;
+      }
+    }
+    if (!ok) break;
+    if (av_write_trailer(out) < 0) break;
+    ret = 1;
+  } while (false);
+  if (pkt) av_packet_free(&pkt);
+  if (jpeg) av_free(jpeg);
+  if (in) avformat_close_input(&in);
+  if (out) {
+    if (out->pb) avio_closep(&out->pb);
+    avformat_free_context(out);
+  }
+  return ret;
 }
 
 // Flush, write trailer, free. Returns frames written (<0 on null handle).

@@ -678,3 +678,40 @@ def test_vfr_range_decode_bitwise(vfr_clip):
                                                   fast=True, start_sample=31,
                                                   max_samples=20))
     np.testing.assert_array_equal(part, full[31:51])
+
+
+def test_cover_art_stream_not_selected(tmp_path):
+    """Embedded cover art (an attached-picture mjpeg stream, here larger
+    than the real video) must never be selected as the content stream — in
+    the probe, the fast engine, or the exact engine. Real music-video /
+    library files carry these; picking one decodes a single still instead
+    of the video."""
+    if not native_rt.encoder_available("libx264"):
+        pytest.skip("libx264 encoder not available")
+    import cv2
+
+    frames = ref.make_synthetic_frames(60, h=200, w=320, period=12, seed=2)
+    base = str(tmp_path / "base.mp4")
+    with native_rt.VideoEncoder(base, 320, 200, 30.0, codec="libx264",
+                                gop=25, bframes=2) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))
+    cover = str(tmp_path / "cover.jpg")
+    img = (np.mgrid[0:1024, 0:1024][0] % 256).astype(np.uint8)
+    cv2.imwrite(cover, cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
+    dst = str(tmp_path / "with_cover.mkv")
+    assert native_rt.add_cover_art(base, dst, cover, 1024, 1024)
+
+    meta = iodec.probe(dst)
+    assert (meta.width, meta.height) == (320, 200)
+    assert meta.total_frames == 60
+
+    fa_src = native_rt.NativeFrameSource(dst, None, gray=True, fast=True)
+    pm = fa_src.meta
+    assert (pm.width, pm.height) == (320, 200)
+    assert pm.total_frames == 60
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(dst, meta, gray=True))
+    assert fa.shape == ex.shape == (60, 256, 256)
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 4.5  # real video content, not the still

@@ -112,6 +112,8 @@ def _bind(lib):
                                 ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
                                 ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
                                 ctypes.c_int]
+    lib.fe_open_ilace.restype = ctypes.c_void_p
+    lib.fe_open_ilace.argtypes = lib.fe_open_rot.argtypes
     lib.fe_write.restype = ctypes.c_int
     lib.fe_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.fe_write_at.restype = ctypes.c_int
@@ -296,7 +298,8 @@ class VideoEncoder:
 
     def __init__(self, path: str, w: int, h: int, fps: float,
                  codec: str = "libx264", gop: int = 250, bframes: int = 3,
-                 pix_fmt: str = "", rotation: int = 0):
+                 pix_fmt: str = "", rotation: int = 0,
+                 interlaced: bool = False):
         """``pix_fmt``: libav pixel format name; "" -> yuv420p. Use e.g.
         ``yuv420p10le`` for 10-bit fixtures (the encoder must support it —
         open fails otherwise rather than silently converting).
@@ -312,10 +315,11 @@ class VideoEncoder:
         from fractions import Fraction
 
         fr = Fraction(fps).limit_denominator(1001)
-        self._h = lib.fe_open_rot(path.encode(), int(w), int(h),
-                                  fr.numerator, fr.denominator,
-                                  codec.encode(), int(gop), int(bframes),
-                                  pix_fmt.encode(), int(rotation))
+        opener = lib.fe_open_ilace if interlaced else lib.fe_open_rot
+        self._h = opener(path.encode(), int(w), int(h),
+                         fr.numerator, fr.denominator,
+                         codec.encode(), int(gop), int(bframes),
+                         pix_fmt.encode(), int(rotation))
         if not self._h:
             raise IOError(f"Cannot open encoder {codec} ({pix_fmt or 'yuv420p'}) for {path}")
         self._shape = (h, w, 3)

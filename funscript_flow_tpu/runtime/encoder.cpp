@@ -73,7 +73,7 @@ struct Encoder {
 
   bool open(const char* path, int width, int height, int fps_num, int fps_den,
             const char* codec_name, int gop, int bframes,
-            const char* pix_fmt_name, int rotation_deg) {
+            const char* pix_fmt_name, int rotation_deg, bool interlaced) {
     w = width;
     h = height;
     if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0)
@@ -134,6 +134,12 @@ struct Encoder {
       ctx->bit_rate = 6000000;
       ctx->rc_max_rate = 6000000;
       ctx->rc_buffer_size = 1835008;
+    }
+    if (interlaced) {
+      // x264 MBAFF / mpeg2 interlaced DCT + motion estimation (1080i-era
+      // content); top-field-first like broadcast material
+      ctx->flags |= AV_CODEC_FLAG_INTERLACED_DCT | AV_CODEC_FLAG_INTERLACED_ME;
+      ctx->field_order = AV_FIELD_TT;
     }
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
       ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -211,7 +217,22 @@ void* fe_open_rot(const char* path, int w, int h, int fps_num, int fps_den,
   av_log_set_level(AV_LOG_ERROR);
   auto* e = new Encoder();
   if (!e->open(path, w, h, fps_num, fps_den, codec, gop, bframes, pix_fmt,
-               rot_deg)) {
+               rot_deg, false)) {
+    delete e;
+    return nullptr;
+  }
+  return e;
+}
+
+// Interlaced encode (x264 MBAFF / MPEG-2 interlaced DCT) — 1080i-era
+// broadcast/library content for decode-parity fixtures.
+void* fe_open_ilace(const char* path, int w, int h, int fps_num, int fps_den,
+                    const char* codec, int gop, int bframes,
+                    const char* pix_fmt, int rot_deg) {
+  av_log_set_level(AV_LOG_ERROR);
+  auto* e = new Encoder();
+  if (!e->open(path, w, h, fps_num, fps_den, codec, gop, bframes, pix_fmt,
+               rot_deg, true)) {
     delete e;
     return nullptr;
   }

@@ -715,3 +715,53 @@ def test_cover_art_stream_not_selected(tmp_path):
     assert fa.shape == ex.shape == (60, 256, 256)
     d = ex.astype(np.int16) - fa.astype(np.int16)
     assert np.abs(d).mean() < 4.5  # real video content, not the still
+
+
+# ---------------------------------------------------------------------------
+# Interlaced content (1080i-era broadcast/library material): x264 MBAFF and
+# MPEG-2 interlaced DCT. Neither engine deinterlaces (cv2/the reference
+# don't either — parity), but the decode paths differ from progressive
+# (field-coded macroblocks, PAFF/MBAFF reference handling with the fast
+# engine's AVDISCARD_NONREF skipping), so both engines must stay aligned.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module", params=[("libx264", "mp4"),
+                                        ("mpeg2video", "mpg")],
+                ids=["h264_mbaff", "mpeg2_ilace"])
+def interlaced_clip(tmp_path_factory, request):
+    codec, ext = request.param
+    if not native_rt.encoder_available(codec, ext=ext):
+        pytest.skip(f"{codec} encoder not available")
+    d = tmp_path_factory.mktemp("ilace")
+    frames = ref.make_synthetic_frames(90, h=288, w=352, period=12, seed=11)
+    p = str(d / f"ilace.{ext}")
+    with native_rt.VideoEncoder(p, 352, 288, 30.0, codec=codec, gop=25,
+                                bframes=2, interlaced=True) as enc:
+        for f in frames:
+            enc.write(np.ascontiguousarray(f[..., ::-1]))
+    return p
+
+
+def test_interlaced_fast_engine_close_to_exact(interlaced_clip):
+    meta = iodec.probe(interlaced_clip)
+    fa_src = native_rt.NativeFrameSource(interlaced_clip, meta, gray=True,
+                                         fast=True)
+    assert fa_src.is_fast
+    fa = collect_np(fa_src)
+    ex = collect_np(native_rt.NativeFrameSource(interlaced_clip, meta,
+                                                gray=True))
+    assert fa.shape == ex.shape
+    d = ex.astype(np.int16) - fa.astype(np.int16)
+    assert np.abs(d).mean() < 4.5
+    assert np.abs(d).max() <= 48
+
+
+def test_interlaced_range_decode_bitwise(interlaced_clip):
+    meta = iodec.probe(interlaced_clip)
+    full = collect_np(native_rt.NativeFrameSource(interlaced_clip, meta,
+                                                  gray=True, fast=True))
+    part = collect_np(native_rt.NativeFrameSource(interlaced_clip, meta,
+                                                  gray=True, fast=True,
+                                                  start_sample=31,
+                                                  max_samples=20))
+    np.testing.assert_array_equal(part, full[31:51])

@@ -209,8 +209,12 @@ extern "C" {
 // Returns a handle, or null. codec: "libx264" | "mpeg4" | any libavcodec
 // encoder name. gop <= 0 -> 250 (long GOP); bframes < 0 -> 3. pix_fmt:
 // libav pixel format name ("yuv420p10le", ...); null/"" -> yuv420p.
-// rot_deg: display-matrix rotation metadata in degrees (0 = none), the
-// av_display_rotation_set convention (counterclockwise-positive).
+// rot_deg: display-matrix rotation metadata in degrees (0 = none). Positive
+// rot_deg yields CLOCKWISE display rotation (the mp4 rotate-tag convention
+// players and cv2 5.0 follow, and what phone muxers write for portrait) —
+// note av_display_rotation_set/_get have asymmetric sign conventions, so
+// this matches the *effective* behavior tested by
+// test_rotated_marker_direction, not the ffmpeg setter's doc string.
 void* fe_open_rot(const char* path, int w, int h, int fps_num, int fps_den,
                   const char* codec, int gop, int bframes,
                   const char* pix_fmt, int rot_deg) {

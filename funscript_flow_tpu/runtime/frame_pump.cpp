@@ -53,7 +53,6 @@ extern "C" {
 #include <mutex>
 #include <thread>
 #include <vector>
-#include <vector>
 
 namespace {
 

@@ -37,14 +37,54 @@ def sidecar_path(output_path: str) -> str:
     return output_path + ".ckpt.npz"
 
 
-def fingerprint(video_path: str, meta, params) -> str:
-    """Identity of (video, analysis settings): a resumed run must be
-    computing the same per-pair stream. ``pair_batch``/``mesh``/decode
-    engine are deliberately absent — per-pair results are invariant to
-    them (batch/bucket/mesh invariance, tested) — except
-    ``decode_quality``, whose fast path is numerically close but not
-    bit-identical to exact, so mixing the two within one video would
-    break the bitwise-resume guarantee."""
+def default_engine(params) -> str:
+    """Best-effort decode-engine class WITHOUT an open source: 'fast' when
+    the native pump is importable and fast decode is requested, else
+    'exact'. The runner passes the engine of the actually-open source
+    instead (``is_fast``) — only the source knows about per-codec fast
+    fallback and .so build failures (the resolved-engine hole: a sidecar
+    written by the native fast engine must not resume onto the cv2 exact
+    path just because the .so stopped building)."""
+    if str(params.decode_quality) != "fast":
+        return "exact"
+    if str(params.use_native_decode) == "off":
+        return "exact"
+    try:
+        from .. import runtime as _rt
+
+        return "fast" if _rt.available() else "exact"
+    except Exception:
+        return "exact"
+
+
+def fingerprint(video_path: str, meta, params, engine: str | None = None) -> str:
+    """Identity of (video, analysis settings, numeric regime): a resumed
+    run must be computing the same per-pair stream.
+
+    ``pair_batch``/``mesh``/``threads`` are deliberately absent — per-pair
+    results are invariant to them (batch/bucket/mesh/shard invariance,
+    tested). Caveat (documented limitation): shard invariance excludes a
+    container that delivers fewer frames than it advertises — a non-final
+    shard black-fills its gap while the sequential resume source stops at
+    real EOF, so on such corrupt containers a resumed tail can diverge
+    from an uninterrupted threads>1 run.
+
+    What IS fingerprinted beyond video identity + reference params:
+
+    * ``engine`` — the RESOLVED decode engine class ('fast' = libav luma
+      engine, 'exact' = cv2-bit-identical; the native exact engine and the
+      Python cv2 path are bit-identical — tested — so they share the
+      token). Callers with an open source pass its actual engine;
+      ``None`` falls back to :func:`default_engine`.
+    * ``flow`` — :func:`ops.farneback.resolved_numerics`: JAX platform,
+      resolved Pallas fusion, resolved warp backend/dtype. The Pallas warp
+      is exact f32 while the XLA warp defaults to bfloat16, so a sidecar
+      saved under one regime and resumed under another (e.g. TPU run
+      resumed on CPU) would silently stitch two numeric regimes into one
+      video.
+    """
+    from ..ops.farneback import FarnebackConfig, resolved_numerics
+
     st = os.stat(video_path)
     return json.dumps({
         "size": st.st_size,
@@ -57,7 +97,9 @@ def fingerprint(video_path: str, meta, params) -> str:
         "backend": str(params.backend),
         "dis_preset": str(params.dis_preset),
         "cut_threshold": float(params.cut_threshold),
-        "decode_quality": str(params.decode_quality),
+        "engine": str(engine) if engine is not None else default_engine(params),
+        "flow": resolved_numerics(FarnebackConfig(
+            use_pallas=params.use_pallas, warp_backend=params.warp_backend)),
     }, sort_keys=True)
 
 

@@ -147,6 +147,10 @@ class PrefetchingFrameSource:
     ones. ``get_batch`` assembles up to ``n`` frames; returns fewer at EOF.
     """
 
+    #: cv2-exact engine — numeric class shared with the native exact engine
+    #: (bit-identical, tested); checkpoint fingerprints key on this
+    is_fast = False
+
     def __init__(self, path: str, meta: VideoMeta, vr_mode: bool = False,
                  depth: int = 512, cancel_flag=None,
                  start_sample: int = 0, max_samples: int = -1,
@@ -244,6 +248,13 @@ class ShardedFrameSource:
                 self._expect.append(hi - lo)
         self._cur = 0
         self._got_in_cur = 0
+
+    @property
+    def is_fast(self) -> bool:
+        """True when the shard decoders run the libav fast engine (all
+        shards decode the same file with the same settings, so any one
+        speaks for all)."""
+        return any(getattr(s, "is_fast", False) for s in self._subs)
 
     def get_batch(self, n: int) -> list:
         out: list = []

@@ -214,14 +214,27 @@ class StreamingFlowAnalyzer:
         self._s = 0            # next pair index to emit
         self._n_frames = 0
         self._pending: list = []  # dispatched-but-unmaterialized device results
-        # Single-worker uploader: window assembly (np.stack, ~16 MB) + H2D
-        # device_put + program dispatch run off the caller's thread, so the
-        # caller returns to decode immediately instead of serializing
-        # 30-50 ms of upload per batch between decode pulls (the H2D-overlap
-        # gap measured in round 2). One worker => dispatches stay ordered.
-        from concurrent.futures import ThreadPoolExecutor
+        # Upload policy. Multi-core hosts: a single-worker uploader thread
+        # runs window assembly (np.stack, ~16 MB) + H2D device_put + program
+        # dispatch off the caller's thread on a spare core, so the caller
+        # returns to decode immediately (one worker => dispatches stay
+        # ordered). Single-core hosts: that thread is pure overhead — the
+        # work it "offloads" is ~25 ms/window, but the GIL ping-pong between
+        # it, the drain path, and the C++ decode threads measured ~+2 s of
+        # CPU per 20 s clip (round-4 profiling, NOTES_ROUND4) — so dispatch
+        # runs inline; JAX's async dispatch still overlaps device compute
+        # with decode. ``FF_TPU_ASYNC_UPLOAD=0/1`` overrides the policy.
+        import os
 
-        self._pool = ThreadPoolExecutor(max_workers=1)
+        env = os.environ.get("FF_TPU_ASYNC_UPLOAD")
+        async_upload = ((os.cpu_count() or 1) > 1) if env is None \
+            else env not in ("0", "off", "false")
+        if async_upload:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=1)
+        else:
+            self._pool = None
 
     def _frames_window(self, a: int, b: int, batch: int | None = None) -> np.ndarray:
         """Frames [a, b] (absolute), padded to the static program shape."""
@@ -260,8 +273,12 @@ class StreamingFlowAnalyzer:
             # happen on the uploader thread
             i0, i1 = a - self._base, b - self._base + 1
             views = self._buf[i0:i1]
-            fut = self._pool.submit(self._upload_and_run, views, bucket, b - a)
-            self._pending.append((fut, [(None, s - a, e - a)]))
+            if self._pool is not None:
+                res = self._pool.submit(self._upload_and_run, views, bucket,
+                                        b - a)
+            else:
+                res = self._upload_and_run(views, bucket, b - a)
+            self._pending.append((res, [(None, s - a, e - a)]))
         else:
             from ..parallel.dp import analyze_windows_sharded
 
@@ -351,10 +368,12 @@ class StreamingFlowAnalyzer:
         return out
 
     def close(self) -> None:
-        """Release the uploader thread. Idempotent; called by flush() on the
-        normal path — cancel paths that stop before flush must call it too,
-        or every cancelled video leaks one pool worker until exit."""
-        self._pool.shutdown(wait=False)
+        """Release the uploader thread (no-op in inline-dispatch mode).
+        Idempotent; called by flush() on the normal path — cancel paths that
+        stop before flush must call it too, or every cancelled video leaks
+        one pool worker until exit."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
 
     @property
     def pairs_emitted(self) -> int:

@@ -366,7 +366,13 @@ def process_video(video_path: str, params: Params, log_func,
     if params.checkpoint:
         ckpt_path = ckpt_mod.sidecar_path(output_path)
         try:
-            ckpt_fp = ckpt_mod.fingerprint(video_path, meta, params)
+            # engine from the OPEN source, not from params: only the source
+            # knows about per-codec fast fallback / a failed .so build, and
+            # a fast-engine sidecar must not silently resume onto the exact
+            # path (or vice versa) — the streams differ numerically
+            engine = "fast" if getattr(source, "is_fast", False) else "exact"
+            ckpt_fp = ckpt_mod.fingerprint(video_path, meta, params,
+                                           engine=engine)
         except OSError:
             ckpt_path = None
         loaded = ckpt_mod.load(ckpt_path, ckpt_fp) if ckpt_path else None

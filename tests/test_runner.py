@@ -421,3 +421,50 @@ def test_checkpoint_stale_sidecar_ignored(clip, tmp_path):
     assert not process_video(vid, params, logs.append)
     assert not any("Resuming" in ln for ln in logs)
     assert open(out, "rb").read() == baseline
+
+
+def test_checkpoint_engine_change_invalidates_sidecar(clip, tmp_path,
+                                                      monkeypatch):
+    """The advisor's resolved-engine hole: a sidecar written by the native
+    FAST engine must not resume when the run resolves to the EXACT path
+    (e.g. the .so stopped building and decode_quality='fast' silently fell
+    back to cv2) — the two engines' per-pair streams differ numerically, so
+    stitching them would break the bitwise-resume guarantee. Simulated by
+    monkeypatching the native runtime away between "runs"."""
+    import shutil
+
+    import numpy as np
+
+    from funscript_flow_tpu import runtime as native_rt
+    from funscript_flow_tpu.io import checkpoint as ck
+
+    if not native_rt.available():
+        pytest.skip("native frame pump not built")
+
+    vid = str(tmp_path / "engine_clip.mp4")
+    shutil.copyfile(clip, vid)
+    out = vid.replace(".mp4", ".funscript")
+    params = Params(overwrite=True, signal_backend="host", pair_batch=24,
+                    decode_quality="fast", checkpoint=True)
+
+    # a poisoned sidecar under the FAST-engine fingerprint: if the exact-
+    # engine run below wrongly resumed from it, the output would be garbage
+    fast_fp = ck.fingerprint(vid, iodec.probe(vid), params, engine="fast")
+    ck.save(ck.sidecar_path(out), np.full(30, 1e9, np.float32),
+            np.zeros(30, bool), fast_fp)
+
+    # same params, but the native pump "stopped building": the run resolves
+    # to the exact cv2 path and must ignore the fast-engine sidecar
+    monkeypatch.setattr(native_rt, "available", lambda: False)
+    exact_baseline_params = Params(overwrite=True, signal_backend="host",
+                                   pair_batch=24, decode_quality="exact")
+    logs = []
+    assert not process_video(vid, params, logs.append)
+    assert not any("Resuming" in ln for ln in logs), logs
+    got = open(out, "rb").read()
+
+    # and the fresh run's output equals a plain exact-engine run
+    monkeypatch.undo()
+    os.remove(out)
+    assert not process_video(vid, exact_baseline_params, lambda m: None)
+    assert got == open(out, "rb").read()

@@ -24,12 +24,21 @@ Extra fields in the same line:
   single-clip h264 run (from the runner's StageTimers).
 * ``pairs_per_s`` — device-side flow throughput implied by that run.
 * ``decode_only_s`` — raw pump decode of the same clip, nothing else
-  running (best of 3): the host-side floor the e2e wall is bound by on
-  this 1-core box. ``value / (duration/decode_only_s)`` ≈ overlap
-  efficiency; a large gap between the implied ceiling and ``value`` means
-  the shared host CPU was contended during the run, not that the pipeline
-  regressed (NOTES_ROUND3 "measurement traps": identical scenarios swing
-  2-3x day to day).
+  running (best over the paired calibration reps): the host-side floor
+  the e2e wall is bound by on a 1-core box.
+* ``overlap_efficiency`` — contention-robust pipeline-quality measure
+  (VERDICT r3 #2): every e2e rep is IMMEDIATELY followed by a raw-decode
+  calibration rep of the same clip in the same pool window, and the
+  efficiency of rep i is ``cal_i / e2e_wall_i`` (1.0 = the pipeline adds
+  nothing over raw decode). The reported value is the best per-rep pair,
+  so shared-pool weather cancels out of the ratio even when it moves the
+  absolute numbers 2-3x (NOTES_ROUND3 "measurement traps").
+* ``vr_decode_only_s`` / ``vr_overlap_efficiency`` — same pairing for the
+  VR scenario (its ceiling is 4K h264 decode).
+* ``host_cores`` — os.cpu_count(); ``threads_x_realtime`` — the headline
+  clip with ``threads=host_cores`` sharded decode, reported only when the
+  box has >1 core (0.0 otherwise): the decode-scaling datapoint the 20x
+  target depends on (VERDICT r3 #3).
 * ``codec`` — "h264" (native encoder) or "mp4v" (fallback).
 
 Baseline: the reference is "usually faster than watching it" on a desktop
@@ -118,10 +127,33 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
     return used
 
 
-def _timed_runs(process_video, clip, params, n_runs, duration):
-    """Best-of-N single-clip runs; returns (x_realtime, decode_wait, device_compute)."""
+def _decode_only(clip, vr_mode=False):
+    """One raw pump decode pass of ``clip`` (no device work, fast engine):
+    the host decode floor in the CURRENT pool window. inf if unavailable."""
+    try:
+        from funscript_flow_tpu import runtime as nrt
+
+        if not nrt.available():
+            return float("inf")
+        t0 = time.time()
+        src = nrt.NativeFrameSource(clip, meta=None, vr_mode=vr_mode,
+                                    gray=True, fast=True)
+        while src.get_batch(256):
+            pass
+        src.close()
+        return time.time() - t0
+    except Exception:
+        return float("inf")
+
+
+def _timed_runs(process_video, clip, params, n_runs, duration, vr_mode=False,
+                paired=True):
+    """Best-of-N single-clip runs, each IMMEDIATELY followed by a raw-decode
+    calibration rep of the same clip (same pool window), so the per-rep
+    ratio ``cal_i / wall_i`` measures pipeline overlap quality independent
+    of shared-pool weather. Returns a dict or None on error."""
     timer_re = re.compile(r"decode_wait=([0-9.]+)s device_compute=([0-9.]+)s")
-    walls, splits = [], []
+    walls, splits, cals = [], [], []
     for _ in range(n_runs):
         lines = []
         t0 = time.time()
@@ -132,8 +164,19 @@ def _timed_runs(process_video, clip, params, n_runs, duration):
         m = next((timer_re.search(ln) for ln in lines if timer_re.search(ln)), None)
         walls.append(wall)
         splits.append((float(m.group(1)), float(m.group(2))) if m else (0.0, 0.0))
+        cals.append(_decode_only(clip, vr_mode) if paired else float("inf"))
     best = int(np.argmin(walls))
-    return duration / walls[best], splits[best][0], splits[best][1]
+    ratios = [min(c / w, 1.0) for c, w in zip(cals, walls) if np.isfinite(c)]
+    finite = [c for c in cals if np.isfinite(c)]
+    return {
+        "x": duration / walls[best],
+        "decode_wait": splits[best][0],
+        "device_compute": splits[best][1],
+        "decode_only": min(finite) if finite else 0.0,
+        # best per-rep pair: pool noise moves cal and e2e together within a
+        # rep, so the max ratio is the least-contaminated pipeline measure
+        "efficiency": max(ratios) if ratios else 0.0,
+    }
 
 
 def main() -> None:
@@ -184,37 +227,31 @@ def main() -> None:
             jnp.asarray(warm_frames), jnp.int32(4), cfg
         )["dots"].block_until_ready()
 
-    # Calibration: raw pump decode of the headline clip (no device work) —
-    # the host-side floor for the e2e wall. Best of 3; cheap (~2 s/run).
-    decode_only = float("inf")
-    try:
-        from funscript_flow_tpu import runtime as nrt
-
-        if nrt.available():
-            for _ in range(3):
-                t0 = time.time()
-                src = nrt.NativeFrameSource(main_clip, meta=None, gray=True,
-                                            fast=True)
-                while src.get_batch(256):
-                    pass
-                src.close()
-                decode_only = min(decode_only, time.time() - t0)
-    except Exception:
-        pass
-    if not np.isfinite(decode_only):
-        decode_only = 0.0
-
-    # --- scenario 1 (headline): single 20 s 1080p30 h264 clip, best of 7
+    # --- scenario 1 (headline): single 20 s 1080p30 h264 clip, best of 7,
+    # each e2e rep paired with a same-window raw-decode calibration rep
     # (shared-pool noise: back-to-back identical runs vary 10-30%, with
-    # occasional multi-x spikes; min-of-N converges and warm runs are ~2-4 s
-    # each so the extra runs are cheap) ---
+    # occasional multi-x spikes; min-of-N converges for the absolute number
+    # and the per-rep pairing makes overlap_efficiency noise-robust) ---
     r = _timed_runs(process_video, main_clip, params, 7, DURATION_S)
     if r is None:
         print(json.dumps({"metric": "bench_error", "value": 0, "unit": "", "vs_baseline": 0}))
         return
-    x_rt, decode_wait, device_compute = r
+    x_rt, decode_wait, device_compute = r["x"], r["decode_wait"], r["device_compute"]
+    decode_only, overlap_eff = r["decode_only"], r["efficiency"]
     n_pairs = int(DURATION_S * FPS) - 1
     pairs_per_s = n_pairs / max(device_compute, 1e-9)
+
+    # --- scenario 1b: sharded decode scaling (only meaningful with >1 host
+    # core; the headline already runs threads=min(8, cores), so the extra
+    # datapoint is the FORCED single-shard run the scaling ratio needs) ---
+    host_cores = os.cpu_count() or 1
+    threads_x_rt = threads1_x_rt = 0.0
+    if host_cores > 1:
+        threads_x_rt = x_rt  # headline used threads=8 clamped to cores
+        r1 = _timed_runs(process_video, main_clip,
+                         Params(overwrite=True, threads=1), 3, DURATION_S,
+                         paired=False)
+        threads1_x_rt = r1["x"] if r1 else 0.0
 
     # --- scenario 2: folder batch (3 clips, 40 s of video), best of 4 ---
     total_secs = sum(s for _, s, _, _, _ in folder_specs)
@@ -229,15 +266,20 @@ def main() -> None:
     # --- scenario 3: mp4v comparability point (round-1/2 headline shape) ---
     mp4v_x_rt = 0.0
     if os.path.exists(mp4v_clip):
-        r = _timed_runs(process_video, mp4v_clip, params, 4, DURATION_S)
-        mp4v_x_rt = r[0] if r else 0.0
+        r = _timed_runs(process_video, mp4v_clip, params, 4, DURATION_S,
+                        paired=False)
+        mp4v_x_rt = r["x"] if r else 0.0
 
-    # --- scenario 4: 4K SBS VR clip, vr_mode, best of 3 ---
-    vr_x_rt = 0.0
+    # --- scenario 4: 4K SBS VR clip, vr_mode, best of 3, paired with a
+    # same-window raw 4K decode calibration rep (VERDICT r3 #4) ---
+    vr_x_rt = vr_decode_only = vr_overlap_eff = 0.0
     if os.path.exists(vr_clip):
         vr_params = Params(overwrite=True, vr_mode=True)
-        r = _timed_runs(process_video, vr_clip, vr_params, 3, vr_secs)
-        vr_x_rt = r[0] if r else 0.0
+        r = _timed_runs(process_video, vr_clip, vr_params, 3, vr_secs,
+                        vr_mode=True)
+        if r:
+            vr_x_rt, vr_decode_only = r["x"], r["decode_only"]
+            vr_overlap_eff = r["efficiency"]
 
     print(json.dumps({
         "metric": "1080p30 h264 end-to-end (decode+flow+signal+emit) per chip",
@@ -256,6 +298,12 @@ def main() -> None:
         # vCPU was contended during the e2e runs, not a pipeline regression
         "decode_ceiling_x_realtime": round(
             DURATION_S / decode_only, 2) if decode_only else 0.0,
+        "overlap_efficiency": round(overlap_eff, 2),
+        "vr_decode_only_s": round(vr_decode_only, 2),
+        "vr_overlap_efficiency": round(vr_overlap_eff, 2),
+        "host_cores": host_cores,
+        "threads_x_realtime": round(threads_x_rt, 2),
+        "threads1_x_realtime": round(threads1_x_rt, 2),
         "codec": codec,
     }))
 

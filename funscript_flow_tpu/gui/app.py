@@ -111,10 +111,14 @@ def collect_settings(widgets: dict) -> Params:
         backend=str(widgets["backend"]).split(" ")[0],
         cut_threshold=float(widgets.get("cut_threshold", 7.0)),
         mesh=int(widgets.get("mesh", 0)),
+        pair_batch=int(widgets.get("pair_batch", 240)),
         dis_preset=str(widgets.get("dis_preset", "fast")),
         decode_quality=str(widgets.get("decode_quality", "fast")),
+        use_native_decode=str(widgets.get("use_native_decode", "auto")),
         signal_backend=str(widgets.get("signal_backend", "auto")),
         use_pallas=str(widgets.get("use_pallas", "auto")),
+        warp_backend=str(widgets.get("warp_backend", "auto")),
+        profile_dir=str(widgets.get("profile_dir", "")).strip(),
         checkpoint=bool(widgets.get("checkpoint", False)),
     )
 
@@ -244,6 +248,7 @@ def launch() -> int:
         (STRINGS["batch_size"], "batch_size", 3000),
         ("Cut threshold", "cut_threshold", 7.0),
         ("Mesh devices", "mesh", 0),
+        ("Pair batch", "pair_batch", 240),
     ]):
         ttk.Label(frm_adv, text=label).grid(row=i // 3, column=(i % 3) * 2, sticky="e")
         var = tk.StringVar(value=str(default))
@@ -263,15 +268,30 @@ def launch() -> int:
          "long clean signals to the device."),
         ("Pallas kernels", "use_pallas", "auto", ("auto", "on", "off"),
          "Fused Mosaic TPU kernels for flow hot ops; auto = on for TPU."),
+        ("Warp backend", "warp_backend", "auto", ("auto", "pallas", "xla"),
+         "Farnebäck warp implementation: pallas = exact f32 Mosaic kernel, "
+         "xla = bfloat16 gather path; auto picks per platform."),
+        ("Native decode", "use_native_decode", "auto", ("auto", "on", "off"),
+         "C++ frame-pump decode runtime; auto falls back to the Python "
+         "decoder when the shared library isn't built."),
     ]):
-        ttk.Label(frm_adv, text=label).grid(row=2 + j // 2, column=(j % 2) * 2,
+        ttk.Label(frm_adv, text=label).grid(row=3 + j // 2, column=(j % 2) * 2,
                                             sticky="e")
         var = tk.StringVar(value=default)
         entries[key] = var
         combo = ttk.Combobox(frm_adv, textvariable=var, values=values,
                              state="readonly", width=10)
-        combo.grid(row=2 + j // 2, column=(j % 2) * 2 + 1, sticky="w", padx=4)
+        combo.grid(row=3 + j // 2, column=(j % 2) * 2 + 1, sticky="w", padx=4)
         _add_tooltip(combo, tip)
+
+    # profile_dir: free-text path (empty = profiling off)
+    ttk.Label(frm_adv, text="Profile dir").grid(row=6, column=0, sticky="e")
+    v_profile = tk.StringVar(value="")
+    entries["profile_dir"] = v_profile
+    ent_prof = ttk.Entry(frm_adv, textvariable=v_profile, width=28)
+    ent_prof.grid(row=6, column=1, columnspan=3, sticky="w", padx=4)
+    _add_tooltip(ent_prof, "Directory for jax.profiler traces of the run "
+                           "(empty = profiling off).")
 
     def current_settings() -> Params:
         return collect_settings({
@@ -295,7 +315,7 @@ def launch() -> int:
         v_ckpt.set(p.checkpoint)
 
     cfgbar = ttk.Frame(frm_adv)
-    cfgbar.grid(row=4, column=0, columnspan=6, sticky="w", pady=2)
+    cfgbar.grid(row=7, column=0, columnspan=6, sticky="w", pady=2)
     ttk.Button(cfgbar, text="Save config",
                command=lambda: save_config(current_settings())).pack(side="left")
     ttk.Button(cfgbar, text="Load config",

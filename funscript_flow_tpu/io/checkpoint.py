@@ -37,16 +37,26 @@ def sidecar_path(output_path: str) -> str:
     return output_path + ".ckpt.npz"
 
 
-def default_engine(params) -> str:
+def default_engine(params, meta=None) -> str:
     """Best-effort decode-engine class WITHOUT an open source: 'fast' when
     the native pump is importable and fast decode is requested, else
     'exact'. The runner passes the engine of the actually-open source
     instead (``is_fast``) — only the source knows about per-codec fast
     fallback and .so build failures (the resolved-engine hole: a sidecar
     written by the native fast engine must not resume onto the cv2 exact
-    path just because the .so stopped building)."""
+    path just because the .so stopped building).
+
+    ``meta`` (when available) additionally applies the runner's
+    sub-norm-window routing (io.decode.effective_decode_quality): clips
+    shorter than the rolling-norm window decode on the exact engine even
+    when fast is requested, and their sidecars record that."""
     if str(params.decode_quality) != "fast":
         return "exact"
+    if meta is not None:
+        from .decode import effective_decode_quality
+
+        if effective_decode_quality(meta, params) != "fast":
+            return "exact"
     if str(params.use_native_decode) == "off":
         return "exact"
     try:
@@ -97,7 +107,8 @@ def fingerprint(video_path: str, meta, params, engine: str | None = None) -> str
         "backend": str(params.backend),
         "dis_preset": str(params.dis_preset),
         "cut_threshold": float(params.cut_threshold),
-        "engine": str(engine) if engine is not None else default_engine(params),
+        "engine": (str(engine) if engine is not None
+                   else default_engine(params, meta)),
         "flow": resolved_numerics(FarnebackConfig(
             use_pallas=params.use_pallas, warp_backend=params.warp_backend)),
     }, sort_keys=True)

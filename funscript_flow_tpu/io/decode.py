@@ -29,7 +29,8 @@ import cv2
 import numpy as np
 
 __all__ = ["VideoMeta", "probe", "preprocess_frame", "sampled_frames",
-           "PrefetchingFrameSource", "ShardedFrameSource"]
+           "PrefetchingFrameSource", "ShardedFrameSource",
+           "effective_decode_quality"]
 
 ANALYSIS_SIZE = 256
 VR_DECODE_SIZE = 512
@@ -74,6 +75,29 @@ def probe(path: str) -> VideoMeta:
         )
     finally:
         cap.release()
+
+
+def effective_decode_quality(meta: VideoMeta, params) -> str:
+    """The decode quality actually used for a video.
+
+    Clips with fewer pairs than the rolling-norm window are routed to the
+    exact engine even when ``decode_quality='fast'``: on such a clip EVERY
+    sample sits in a truncated, asymmetric normalization window
+    (reference :1335-1349), which amplifies the fast path's ~1.5-gray-level
+    luma-only residual several-fold (measured worst pos |Δ| 9.4 on a 2.1 s
+    fixture vs ≤6 interior — VERDICT r3 weak #5). Sub-window clips are a
+    few seconds long by definition, so exact decode costs almost nothing.
+
+    Lives here (not in runner) because the checkpoint fingerprint's
+    engine-resolution default must apply the same routing — a sidecar
+    records the engine that actually decoded the pairs.
+    """
+    if params.decode_quality != "fast":
+        return params.decode_quality
+    n_pairs = len(meta.sampled_indices) - 1
+    if n_pairs < int(params.norm_window * meta.effective_fps):
+        return "exact"
+    return "fast"
 
 
 def preprocess_frame(bgr: np.ndarray, vr_mode: bool, gray: bool = False) -> np.ndarray:

@@ -156,6 +156,11 @@ def _detect_native(params: Params, log_func):
     return None
 
 
+# sub-norm-window clips route to the exact engine; shared with the
+# checkpoint fingerprint's engine resolution (see the docstring there)
+_effective_quality = iodec.effective_decode_quality
+
+
 def _decode_shards(params: Params) -> int:
     """Decode shard count: ``threads`` clamped to host cores (more shards
     than cores only adds seek + contention). ``FF_TPU_FORCE_SHARDS=N``
@@ -190,7 +195,16 @@ def _open_video(video_path, params: Params, cancel_flag, log_func):
             cancel_flag=cancel_flag, gray=True,
             fast=(params.decode_quality == "fast"),
         )
-        return src.meta, src
+        meta = src.meta
+        if src.is_fast and _effective_quality(meta, params) == "exact":
+            # sub-norm-window clip: reopen on the exact engine (the clip is
+            # seconds long, so the reopen + exact decode are both cheap)
+            src.close()
+            src = native_rt.NativeFrameSource(
+                video_path, meta, params.vr_mode, depth=params.batch_size,
+                cancel_flag=cancel_flag, gray=True, fast=False,
+            )
+        return meta, src
     meta = iodec.probe(video_path)
     return meta, _make_frame_source(video_path, meta, params, cancel_flag,
                                     log_func)
@@ -207,6 +221,7 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func,
     native_rt = _detect_native(params, log_func)
     if params.use_native_decode == "on" and native_rt is None:
         return None
+    fast = _effective_quality(meta, params) == "fast"
 
     def factory(start, count, depth):
         # production path ships grayscale (1/3 the H2D bytes; host BGR2GRAY
@@ -215,7 +230,7 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func,
             return native_rt.NativeFrameSource(
                 video_path, meta, params.vr_mode, depth=depth,
                 cancel_flag=cancel_flag, start_sample=start, max_samples=count,
-                gray=True, fast=(params.decode_quality == "fast"),
+                gray=True, fast=fast,
             )
         return iodec.PrefetchingFrameSource(
             video_path, meta, params.vr_mode, depth=depth,

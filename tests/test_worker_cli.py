@@ -119,20 +119,37 @@ def test_collect_settings_maps_backend_annotations():
 
 def test_collect_settings_full_params_surface():
     """The GUI exposes the full Params surface (reference parity: its GUI
-    mirrored the whole settings dict, :2004-2018 — TPU knobs included)."""
-    p = collect_settings({
+    mirrored the whole settings dict, :2004-2018 — TPU knobs included).
+    Every field is driven to a NON-default value and must round-trip, so a
+    Params field the GUI forgets fails this test."""
+    import dataclasses
+
+    non_default = {
         "threads": "4", "detrend_window": "1.5", "norm_window": "4",
         "batch_size": "100", "cut_threshold": "6", "mesh": "4",
-        "overwrite": False, "vr_mode": False, "pov_mode": False,
-        "keyframe_reduction": True, "backend": "TPU (available)",
-        "dis_preset": "medium", "decode_quality": "exact",
+        "pair_batch": "64", "overwrite": True, "vr_mode": True,
+        "pov_mode": True, "keyframe_reduction": False,
+        "backend": "DIS (available)", "dis_preset": "medium",
+        "decode_quality": "exact", "use_native_decode": "on",
         "signal_backend": "device", "use_pallas": "off",
-    })
-    assert p.mesh == 4
-    assert p.dis_preset == "medium"
-    assert p.decode_quality == "exact"
-    assert p.signal_backend == "device"
-    assert p.use_pallas == "off"
+        "warp_backend": "xla", "profile_dir": "/tmp/prof",
+        "checkpoint": True,
+    }
+    assert set(non_default) == {f.name for f in dataclasses.fields(Params)}
+    p = collect_settings(non_default)
+    defaults = Params()
+    for f in dataclasses.fields(Params):
+        assert getattr(p, f.name) != getattr(defaults, f.name), \
+            f"GUI does not map Params field {f.name!r}"
+    assert p == Params(threads=4, detrend_window=1.5, norm_window=4.0,
+                       batch_size=100, cut_threshold=6.0, mesh=4,
+                       pair_batch=64, overwrite=True, vr_mode=True,
+                       pov_mode=True, keyframe_reduction=False,
+                       backend="DIS", dis_preset="medium",
+                       decode_quality="exact", use_native_decode="on",
+                       signal_backend="device", use_pallas="off",
+                       warp_backend="xla", profile_dir="/tmp/prof",
+                       checkpoint=True)
 
 
 def test_backend_detection():

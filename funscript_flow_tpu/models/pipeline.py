@@ -339,11 +339,31 @@ class StreamingFlowAnalyzer:
                     out.append({k: np_res[k][d, lo:hi] for k in self.KEYS})
         return out
 
+    @property
+    def ramp_pairs(self) -> int:
+        """First-window ramp size in pairs (single-device): the SMALLEST
+        tail bucket, so the ramp window reuses a program shape short-clip
+        tails compile anyway. Without the ramp, a clip shorter than
+        ~pair_batch pairs (VR bench: 6 s = 179 pairs) decodes COMPLETELY
+        before the device sees frame one — decode and device compute
+        serialize instead of overlapping (measured +0.4-0.7 s on the 4K VR
+        scenario, NOTES_ROUND4). Results are bitwise invariant to the
+        dispatch partition (bucket/batch-size invariance, tested), so this
+        is schedule-only."""
+        return self._tail_bucket(1)
+
     def push(self, frames) -> list:
         """Add decoded frames; returns a list of result dicts (maybe empty)."""
         self._buf.extend(frames)
         self._n_frames += len(frames)
         B, r = self.cfg.pair_batch * self._D, self.radius
+        # first-window ramp: nothing dispatched yet and a full window isn't
+        # available — start the device on a small prefix now (mesh mode
+        # keeps whole-window dispatches: one window per device)
+        if (self.mesh is None and self._s == 0 and not self._pending
+                and self._n_frames - 1 < B + r
+                and self._n_frames - 1 >= self.ramp_pairs + r):
+            self._dispatch(self.ramp_pairs, None)
         # pairs available so far: one per frame except the last
         while self._n_frames - 1 >= self._s + B + r:
             self._dispatch(self._s + B, None)

@@ -438,8 +438,16 @@ def process_video(video_path: str, params: Params, log_func,
     # video-level-DP folder mode the analyzer is single-device (mesh=None,
     # device pinned) and a mesh-sized pull would block until mesh*pair_batch
     # frames decoded — serializing decode before the first dispatch.
+    # Single-device: prime with the analyzer's RAMP window instead — the
+    # device starts on a small first window ~4x sooner, and a clip shorter
+    # than pair_batch pairs (the 4K VR case) overlaps compute with its tail
+    # decode instead of serializing after it (bitwise-invariant to the
+    # dispatch partition; see StreamingFlowAnalyzer.ramp_pairs).
     pull = cfg.pair_batch * analyzer.n_devices
-    next_pull = pull + 2 * analyzer.radius + 1
+    if analyzer.mesh is None:
+        next_pull = analyzer.ramp_pairs + analyzer.radius + 1
+    else:
+        next_pull = pull + 2 * analyzer.radius + 1
     try:
         with profile_trace(params.profile_dir or None):
             while True:

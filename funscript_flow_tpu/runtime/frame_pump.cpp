@@ -237,12 +237,30 @@ struct LavDecoder {
     ctx->lowres = k;
     ctx->flags |= AV_CODEC_FLAG_GRAY;           // skip chroma decode
     ctx->flags2 |= AV_CODEC_FLAG2_FAST;
-    // Deblocking is skipped only for frames nothing else predicts from:
+    // Deblocking policy (fast engine only — this whole decoder is the fast
+    // path). Default: skipped only for frames nothing else predicts from —
     // a non-reference frame's missing loop filter perturbs that frame's
     // own pixels slightly but can never accumulate across the GOP (unlike
     // AVDISCARD_ALL, which was measured at +16% speed but drifts on long
     // GOPs — see NOTES_ROUND3). Reference frames stay bit-exact.
-    ctx->skip_loop_filter = AVDISCARD_NONREF;
+    //
+    // At >=6 MP decoded luma (4K-class: the SBS-VR premium workload,
+    // reference FunscriptFlow.pyw:1076-1079) the policy flips to
+    // AVDISCARD_ALL: there decode IS the single-core bottleneck (measured
+    // 2.9x-realtime ceiling for 4K SBS), ALL buys +10-20%, and the drift
+    // stays inside the fast envelope after the >=7x downscale to the
+    // analysis plane (measured on adversarial oscillating-zoom 4K: per-
+    // frame residual 1.50 -> 1.79 gray levels across a 250-frame GOP,
+    // funscript pos |d| max 5 vs exact where NONREF gives 3 —
+    // NOTES_ROUND4). FF_PUMP_SLF=all|nonref|off overrides either way.
+    const long long luma_px = (long long)(src_w >> k) * (long long)(src_h >> k);
+    ctx->skip_loop_filter =
+        luma_px >= 6000000LL ? AVDISCARD_ALL : AVDISCARD_NONREF;
+    if (const char* slf = getenv("FF_PUMP_SLF")) {
+      if (!strcmp(slf, "all")) ctx->skip_loop_filter = AVDISCARD_ALL;
+      else if (!strcmp(slf, "nonref")) ctx->skip_loop_filter = AVDISCARD_NONREF;
+      else if (!strcmp(slf, "off")) ctx->skip_loop_filter = AVDISCARD_NONE;
+    }
     unsigned hc = std::thread::hardware_concurrency();
     ctx->thread_count = static_cast<int>(std::min(4u, hc ? hc : 1u));
     if (avcodec_open2(ctx, codec, nullptr) < 0) return false;

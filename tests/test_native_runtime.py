@@ -765,3 +765,75 @@ def test_interlaced_range_decode_bitwise(interlaced_clip):
                                                   start_sample=31,
                                                   max_samples=20))
     np.testing.assert_array_equal(part, full[31:51])
+
+
+# ---------------------------------------------------------------------------
+# >=6 MP loop-filter gate: 4K-class fast decode flips skip_loop_filter from
+# NONREF to ALL (frame_pump.cpp LavDecoder::open; measured +10-20% decode on
+# this class where decode is the 1-core bottleneck, residual still inside the
+# fast envelope — NOTES_ROUND4).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def uhd_clip(tmp_path_factory):
+    """3840x1680 (6.45 MP, just over the gate) oscillating-zoom h264 clip —
+    zoom content maximizes motion-compensated prediction churn, the
+    adversarial case for deblock-off drift."""
+    import cv2
+
+    if not native_rt.encoder_available("libx264"):
+        pytest.skip("libx264 encoder unavailable")
+    d = tmp_path_factory.mktemp("uhd")
+    p = str(d / "uhd.mp4")
+    w, h, n = 3840, 1680, 72
+    rng = np.random.default_rng(11)
+    tex = cv2.GaussianBlur(
+        (rng.random((h + 400, w + 400)) * 255).astype(np.float32), (0, 0), 4)
+    with native_rt.VideoEncoder(p, w, h, 30.0, codec="libx264", gop=250,
+                                bframes=3) as enc:
+        for i in range(n):
+            s = 1.0 + 0.12 * np.sin(2 * np.pi * i / 45.0)
+            cw, ch = int(w / s), int(h / s)
+            x0, y0 = (tex.shape[1] - cw) // 2, (tex.shape[0] - ch) // 2
+            img = cv2.resize(tex[y0:y0 + ch, x0:x0 + cw], (w, h),
+                             interpolation=cv2.INTER_LINEAR)
+            enc.write(cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                                   cv2.COLOR_GRAY2BGR))
+    return p
+
+
+@pytest.mark.slow
+def test_uhd_loop_filter_gate_engages(uhd_clip, clip, monkeypatch):
+    """At >=6 MP the default fast decode differs from a forced
+    FF_PUMP_SLF=nonref decode (proof ALL engaged), stays inside the fast
+    envelope vs exact, and the gate does NOT engage below the threshold
+    (the 320x200 fixture decodes identically under default and nonref)."""
+    meta = iodec.probe(uhd_clip)
+
+    monkeypatch.delenv("FF_PUMP_SLF", raising=False)
+    default = collect_np(native_rt.NativeFrameSource(uhd_clip, meta,
+                                                     gray=True, fast=True))
+    monkeypatch.setenv("FF_PUMP_SLF", "nonref")
+    nonref = collect_np(native_rt.NativeFrameSource(uhd_clip, meta,
+                                                    gray=True, fast=True))
+    monkeypatch.delenv("FF_PUMP_SLF", raising=False)
+    assert default.shape == nonref.shape
+    assert not np.array_equal(default, nonref)  # ALL actually in effect
+
+    ex = collect_np(native_rt.NativeFrameSource(uhd_clip, meta, gray=True))
+    d = np.abs(default.astype(np.int16) - ex.astype(np.int16))
+    per_frame = d.reshape(len(d), -1).mean(axis=1)
+    assert d.mean() < 2.5
+    assert d.max() <= 16
+    # drift stays bounded along the (single-GOP) clip
+    assert per_frame[-10:].mean() < per_frame[:10].mean() + 0.6
+
+    # below the gate: default == nonref bitwise (NONREF still the default)
+    small_meta = iodec.probe(clip)
+    small_def = collect_np(native_rt.NativeFrameSource(clip, small_meta,
+                                                       gray=True, fast=True))
+    monkeypatch.setenv("FF_PUMP_SLF", "nonref")
+    small_nonref = collect_np(native_rt.NativeFrameSource(clip, small_meta,
+                                                          gray=True,
+                                                          fast=True))
+    monkeypatch.delenv("FF_PUMP_SLF", raising=False)
+    np.testing.assert_array_equal(small_def, small_nonref)

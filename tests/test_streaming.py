@@ -36,6 +36,30 @@ def test_streaming_equals_batch(push_size):
     np.testing.assert_array_equal(got["cuts"], want["cuts"])
 
 
+def test_streaming_ramp_window_equals_batch():
+    """First-window ramp (pair_batch > smallest bucket): pushing in chunks
+    small enough that the ramp dispatch fires (a 40-pair first window for
+    pair_batch=80) must stay bitwise identical to the batch analyzer —
+    the ramp is a dispatch-schedule change only."""
+    frames = np.stack(ref.make_synthetic_frames(120, h=48, w=48, period=9,
+                                                seed=7))
+    cfg = PipelineConfig(pair_batch=80)
+    want = FlowAnalyzer(cfg).analyze_video_pairs(frames)
+
+    st = StreamingFlowAnalyzer(cfg)
+    assert st.ramp_pairs == 40
+    results = []
+    # 47-frame first push: 46 pairs >= ramp(40)+radius(6), < 86 -> ramp fires
+    for i in range(0, len(frames), 47):
+        results.extend(st.push(list(frames[i : i + 47])))
+    assert st._s in (40, 120)  # the ramp window actually dispatched first
+    results.extend(st.flush())
+    got = {k: np.concatenate([r[k] for r in results]) for k in st.KEYS}
+    assert st.pairs_emitted == 119
+    for k in st.KEYS:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
 def test_compute_actions_routes_discontinuity_to_host(rng):
     """A cumulative-flow jump > 1000 must give the reference's exact
     (re-anchored window grid) result, i.e. the host path."""

@@ -214,14 +214,16 @@ def main() -> None:
 
     params = Params(overwrite=True)
 
-    # Warm up compilation for the production shapes: the gray full window
-    # and the 128-pair tail bucket the 20 s clip ends with (the production
-    # path ships grayscale; warming RGB would compile a program the run
-    # never uses).
+    # Warm up compilation for the production shapes the 20 s clip actually
+    # dispatches (the production path ships grayscale; warming RGB would
+    # compile a program the run never uses): the full 240-pair window, the
+    # 120-pair tail bucket (599 pairs = 2x240 + 119), and the 60-pair
+    # first-window ramp (StreamingFlowAnalyzer.ramp_pairs).
     import jax.numpy as jnp
 
     cfg = PipelineConfig(pair_batch=params.pair_batch)
-    for bucket in (params.pair_batch, 128):
+    for bucket in (params.pair_batch, params.pair_batch // 2,
+                   params.pair_batch // 4):
         warm_frames = np.zeros((bucket + 13, 256, 256), np.uint8)
         flow_chunk_program(
             jnp.asarray(warm_frames), jnp.int32(4), cfg

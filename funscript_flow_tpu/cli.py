@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Use N devices: folders run one video per device "
                         "(video-level DP); a single video shards its pair "
                         "windows (jax mesh + shard_map). 0 = single device")
+    p.add_argument("--clip_workers", type=int, default=0,
+                   help="Folder mode: concurrent in-flight clips (0 = auto: "
+                        "one per chip when --mesh > 1, else 2 sharing the "
+                        "single chip; 1 = strictly sequential)")
     p.add_argument("--dis_preset", choices=["ultrafast", "fast", "medium"],
                    default="fast",
                    help="DIS backend preset (cv2 equivalents; default: fast)")
@@ -107,6 +111,7 @@ def main(argv=None) -> int:
         warp_backend=args.warp_backend,
         dis_preset=args.dis_preset,
         mesh=args.mesh,
+        clip_workers=args.clip_workers,
         decode_quality=args.decode_quality,
         profile_dir=args.profile_dir,
         checkpoint=args.checkpoint,

@@ -111,6 +111,7 @@ def collect_settings(widgets: dict) -> Params:
         backend=str(widgets["backend"]).split(" ")[0],
         cut_threshold=float(widgets.get("cut_threshold", 7.0)),
         mesh=int(widgets.get("mesh", 0)),
+        clip_workers=int(widgets.get("clip_workers", 0)),
         pair_batch=int(widgets.get("pair_batch", 240)),
         dis_preset=str(widgets.get("dis_preset", "fast")),
         decode_quality=str(widgets.get("decode_quality", "fast")),
@@ -249,6 +250,7 @@ def launch() -> int:
         ("Cut threshold", "cut_threshold", 7.0),
         ("Mesh devices", "mesh", 0),
         ("Pair batch", "pair_batch", 240),
+        ("Clip workers", "clip_workers", 0),
     ]):
         ttk.Label(frm_adv, text=label).grid(row=i // 3, column=(i % 3) * 2, sticky="e")
         var = tk.StringVar(value=str(default))

@@ -46,6 +46,15 @@ class Params:
     dis_preset: str = "fast"         # ultrafast | fast | medium (DIS backend)
     mesh: int = 0                    # shard pair windows over N devices
                                      # (0/1 = single device; SURVEY §2.4 DP)
+    clip_workers: int = 0            # folder mode: concurrent in-flight
+                                     # clips (0 = auto: one per chip when
+                                     # mesh > 1, else 2 sharing the single
+                                     # chip; 1 = strictly sequential). The
+                                     # chip is mostly idle at the host
+                                     # decode ceiling, so interleaving
+                                     # clips' windows into one device queue
+                                     # raises folder throughput (runner.
+                                     # _run_videos_parallel)
     profile_dir: str = ""            # jax.profiler trace dir ("" = off)
     checkpoint: bool = False         # intra-video resume sidecars
                                      # (io/checkpoint.py; reference only had

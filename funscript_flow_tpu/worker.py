@@ -15,7 +15,7 @@ from __future__ import annotations
 import threading
 
 from .io.funscript import funscript_path
-from .runner import process_video
+from .runner import _run_videos_parallel, process_video, resolve_clip_workers
 from .utils.logging import RunLogger
 from .utils.params import Params
 
@@ -59,19 +59,35 @@ class BatchWorker(threading.Thread):
 
             total = len(self.files)
             log(f"Found {total} file(s).")
-            for i, video in enumerate(self.files):
-                if self._cancel.is_set():
-                    log("User bailed.")
-                    break
-                log(f"Processing file {i + 1}/{total}: {video}")
-                err = process_video(
-                    video, self.params, log,
-                    progress_callback=self._on_video_progress,
-                    cancel_flag=self._cancel.is_set,
-                )
-                self.error_occurred |= err
-                if not err and not self._cancel.is_set():
-                    self.generated.append((video, funscript_path(video)))
-                self._on_progress(int(100 * (i + 1) / total))
+            n_workers, n_devices = resolve_clip_workers(self.params, total)
+            if n_workers > 1:
+                # same in-flight-clip parallelism as the headless folder
+                # runner (runner._run_videos_parallel): one clip per chip
+                # with a mesh, N clips sharing the single chip otherwise
+                def on_done(video, err):
+                    if not err and not self._cancel.is_set():
+                        self.generated.append((video, funscript_path(video)))
+
+                self.error_occurred = _run_videos_parallel(
+                    self.files, self.params, log, self._on_progress,
+                    n_workers, cancel_flag=self._cancel.is_set,
+                    video_progress_callback=lambda _v, p:
+                        self._on_video_progress(p),
+                    n_devices=n_devices, video_done_callback=on_done)
+            else:
+                for i, video in enumerate(self.files):
+                    if self._cancel.is_set():
+                        log("User bailed.")
+                        break
+                    log(f"Processing file {i + 1}/{total}: {video}")
+                    err = process_video(
+                        video, self.params, log,
+                        progress_callback=self._on_video_progress,
+                        cancel_flag=self._cancel.is_set,
+                    )
+                    self.error_occurred |= err
+                    if not err and not self._cancel.is_set():
+                        self.generated.append((video, funscript_path(video)))
+                    self._on_progress(int(100 * (i + 1) / total))
             log("Batch processing complete.")
         self._on_finished(self.error_occurred, self.generated)

@@ -127,6 +127,7 @@ def test_collect_settings_full_params_surface():
     non_default = {
         "threads": "4", "detrend_window": "1.5", "norm_window": "4",
         "batch_size": "100", "cut_threshold": "6", "mesh": "4",
+        "clip_workers": "3",
         "pair_batch": "64", "overwrite": True, "vr_mode": True,
         "pov_mode": True, "keyframe_reduction": False,
         "backend": "DIS (available)", "dis_preset": "medium",
@@ -143,6 +144,7 @@ def test_collect_settings_full_params_surface():
             f"GUI does not map Params field {f.name!r}"
     assert p == Params(threads=4, detrend_window=1.5, norm_window=4.0,
                        batch_size=100, cut_threshold=6.0, mesh=4,
+                       clip_workers=3,
                        pair_batch=64, overwrite=True, vr_mode=True,
                        pov_mode=True, keyframe_reduction=False,
                        backend="DIS", dis_preset="medium",

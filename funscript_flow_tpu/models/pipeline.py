@@ -214,6 +214,7 @@ class StreamingFlowAnalyzer:
         self._s = 0            # next pair index to emit
         self._n_frames = 0
         self._pending: list = []  # dispatched-but-unmaterialized device results
+        self._fetching: list = []  # finished windows with D2H copy in flight
         # Upload policy. Multi-core hosts: a single-worker uploader thread
         # runs window assembly (np.stack, ~16 MB) + H2D device_put + program
         # dispatch off the caller's thread on a spare core, so the caller
@@ -326,6 +327,19 @@ class StreamingFlowAnalyzer:
             res, segs = self._pending.pop(0)
             if hasattr(res, "result"):
                 res = res.result()  # uploader future; re-raises its errors
+            # Two-stage fetch: START the D2H copy now, MATERIALIZE it on a
+            # later drain call. An eager device_get here blocked ~0.2-0.3 s
+            # per window on the relay's D2H round trip (~1.1 s per 20 s
+            # clip, profiled in NOTES_ROUND4); by the next drain (~0.9 s of
+            # decode later) the async copy has landed and device_get
+            # returns from the cached host value immediately.
+            for k in self.KEYS:
+                arr = res[k]
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+            self._fetching.append((res, segs))
+        while len(self._fetching) > (1 if keep else 0):
+            res, segs = self._fetching.pop(0)
             # one device_get for the whole dict: per-key np.asarray costs a
             # separate D2H round trip each (~140 ms/batch over the relay vs
             # ~40 ms batched — measured)

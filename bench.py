@@ -12,14 +12,14 @@ Extra fields in the same line:
 
 * ``folder_x_realtime`` — the reference's actual workload shape ("a hundred
   gigs per day", README.md:1): a folder of three mixed-length h264 clips
-  through ``run_headless`` (exercises cross-video decode prefetch), best
-  of 3.
-* ``mp4v_x_realtime`` — the same 20 s clip re-encoded as mp4v, best of 2:
+  through ``run_headless`` with two clips in flight on the one chip
+  (clip_workers auto), best of 6.
+* ``mp4v_x_realtime`` — the same 20 s clip re-encoded as mp4v, best of 4:
   comparable to the round-1/2 headline numbers (mpegvideo codecs keep the
   libav lowres fast-decode path that h264 doesn't have).
 * ``vr_x_realtime`` — a 6 s 4K (3840x1920) side-by-side VR clip with
   ``vr_mode=True`` (512-quadrant crop from >=4K decode — the expensive
-  real-world case, FunscriptFlow.pyw:1076-1079), best of 2.
+  real-world case, FunscriptFlow.pyw:1076-1079), best of 5.
 * ``decode_wait_s`` / ``device_compute_s`` — stage split of the best
   single-clip h264 run (from the runner's StageTimers).
 * ``pairs_per_s`` — device-side flow throughput implied by that run.
@@ -255,10 +255,13 @@ def main() -> None:
                          paired=False)
         threads1_x_rt = r1["x"] if r1 else 0.0
 
-    # --- scenario 2: folder batch (3 clips, 40 s of video), best of 4 ---
+    # --- scenario 2: folder batch (3 clips, 40 s of video), best of 6 —
+    # two clips in flight on the one chip (clip_workers auto); 6 reps
+    # because this scenario has no paired calibration to cancel pool
+    # weather, so the best-of needs more draws than the headline's ---
     total_secs = sum(s for _, s, _, _, _ in folder_specs)
     folder_x_rt = 0.0
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.time()
         err = run_headless(folder, params,
                            log_path=os.path.join(BENCH_DIR, "run.log"))
@@ -272,12 +275,12 @@ def main() -> None:
                         paired=False)
         mp4v_x_rt = r["x"] if r else 0.0
 
-    # --- scenario 4: 4K SBS VR clip, vr_mode, best of 3, paired with a
+    # --- scenario 4: 4K SBS VR clip, vr_mode, best of 5, paired with a
     # same-window raw 4K decode calibration rep (VERDICT r3 #4) ---
     vr_x_rt = vr_decode_only = vr_overlap_eff = 0.0
     if os.path.exists(vr_clip):
         vr_params = Params(overwrite=True, vr_mode=True)
-        r = _timed_runs(process_video, vr_clip, vr_params, 3, vr_secs,
+        r = _timed_runs(process_video, vr_clip, vr_params, 5, vr_secs,
                         vr_mode=True)
         if r:
             vr_x_rt, vr_decode_only = r["x"], r["decode_only"]

@@ -20,6 +20,11 @@ Extra fields in the same line:
 * ``vr_x_realtime`` — a 6 s 4K (3840x1920) side-by-side VR clip with
   ``vr_mode=True`` (512-quadrant crop from >=4K decode — the expensive
   real-world case, FunscriptFlow.pyw:1076-1079), best of 5.
+* ``vr60_x_realtime`` — the same scenario at **60 fps** (the dominant
+  real-world VR frame rate): sampling steps to every 2nd frame, so the
+  fast engine's grid-aware per-packet ``AVDISCARD_NONREF`` skips off-grid
+  non-reference frames outright — the representative premium workload,
+  best of 5 (paired: ``vr60_overlap_efficiency``).
 * ``decode_wait_s`` / ``device_compute_s`` — stage split of the best
   single-clip h264 run (from the runner's StageTimers).
 * ``pairs_per_s`` — device-side flow throughput implied by that run.
@@ -71,11 +76,12 @@ def _native_encoder():
 
 
 def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
-                     seed: int = 0, codec: str = "h264") -> str:
+                     seed: int = 0, codec: str = "h264",
+                     fps: int = FPS) -> str:
     """Synthetic oscillating-zoom content; returns the codec actually used."""
     import cv2
 
-    n = int(seconds * FPS)
+    n = int(seconds * fps)
     rng = np.random.default_rng(seed)
     # >=4K frames: the 2x-supersampled warpAffine costs seconds/frame — use
     # a cheap pan over a padded texture instead (decode cost, which is what
@@ -91,12 +97,12 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
 
     rt = _native_encoder() if codec == "h264" else None
     if rt is not None:
-        enc = rt.VideoEncoder(path, w, h, float(FPS), codec="libx264",
+        enc = rt.VideoEncoder(path, w, h, float(fps), codec="libx264",
                               gop=250, bframes=3)
         used = "h264"
     else:
         enc = None
-        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (w, h))
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
         if not vw.isOpened():
             raise RuntimeError("no usable encoder")
         used = "mp4v"
@@ -211,6 +217,10 @@ def main() -> None:
     vr_secs = 6.0
     if codec == "h264" and not os.path.exists(vr_clip):
         make_bench_video(vr_clip, vr_secs, h=1920, w=3840, seed=4, codec=codec)
+    vr60_clip = os.path.join(BENCH_DIR, f"clip_vr4k60_{codec}.mp4")
+    if codec == "h264" and not os.path.exists(vr60_clip):
+        make_bench_video(vr60_clip, vr_secs, h=1920, w=3840, seed=5,
+                         codec=codec, fps=60)
 
     params = Params(overwrite=True)
 
@@ -286,6 +296,19 @@ def main() -> None:
             vr_x_rt, vr_decode_only = r["x"], r["decode_only"]
             vr_overlap_eff = r["efficiency"]
 
+    # --- scenario 4b: the same VR shape at 60 fps (the dominant real VR
+    # frame rate): step=2 sampling engages grid-aware per-packet
+    # AVDISCARD_NONREF, so off-grid non-reference frames are never
+    # decoded — the representative premium workload ---
+    vr60_x_rt = vr60_decode_only = vr60_overlap_eff = 0.0
+    if os.path.exists(vr60_clip):
+        vr_params = Params(overwrite=True, vr_mode=True)
+        r = _timed_runs(process_video, vr60_clip, vr_params, 5, vr_secs,
+                        vr_mode=True)
+        if r:
+            vr60_x_rt, vr60_decode_only = r["x"], r["decode_only"]
+            vr60_overlap_eff = r["efficiency"]
+
     print(json.dumps({
         "metric": "1080p30 h264 end-to-end (decode+flow+signal+emit) per chip",
         "value": round(x_rt, 2),
@@ -306,6 +329,9 @@ def main() -> None:
         "overlap_efficiency": round(overlap_eff, 2),
         "vr_decode_only_s": round(vr_decode_only, 2),
         "vr_overlap_efficiency": round(vr_overlap_eff, 2),
+        "vr60_x_realtime": round(vr60_x_rt, 2),
+        "vr60_decode_only_s": round(vr60_decode_only, 2),
+        "vr60_overlap_efficiency": round(vr60_overlap_eff, 2),
         "host_cores": host_cores,
         "threads_x_realtime": round(threads_x_rt, 2),
         "threads1_x_realtime": round(threads1_x_rt, 2),

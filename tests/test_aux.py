@@ -265,3 +265,36 @@ def test_checkpoint_fingerprint_resolved_engine(tmp_path, monkeypatch):
     assert ck.default_engine(p_fast) == "exact"
     assert ck.default_engine(Params(decode_quality="exact")) == "exact"
     assert ck.default_engine(Params(use_native_decode="off")) == "exact"
+
+
+def test_resolve_clip_workers():
+    """Folder-run worker/device resolution (VERDICT r3 #7): auto = one
+    clip per chip with a mesh, two in-flight clips on a single chip (when
+    the native pump exists), strictly sequential on explicit
+    clip_workers=1; explicit counts clamp to the file count."""
+    from funscript_flow_tpu import runner
+    from funscript_flow_tpu import runtime as rt
+
+    native = False
+    try:
+        native = rt.available()
+    except Exception:
+        pass
+
+    # explicit counts: honored, clamped to files; devices follow mesh
+    assert runner.resolve_clip_workers(Params(clip_workers=1), 5) == (1, 1)
+    assert runner.resolve_clip_workers(Params(clip_workers=3), 5) == (3, 1)
+    assert runner.resolve_clip_workers(Params(clip_workers=9), 5) == (5, 1)
+    assert runner.resolve_clip_workers(
+        Params(clip_workers=4, mesh=2), 5) == (4, 2)
+    # auto, multi-chip: one clip per chip (devices clamp to files too)
+    assert runner.resolve_clip_workers(Params(mesh=3), 5) == (3, 3)
+    assert runner.resolve_clip_workers(Params(mesh=3), 2) == (2, 2)
+    # auto, single chip: two in-flight clips iff the native pump is up
+    expect = 2 if native else 1
+    assert runner.resolve_clip_workers(Params(), 5) == (expect, 1)
+    # one file never parallelizes
+    assert runner.resolve_clip_workers(Params(), 1) == (1, 1)
+    # native pump forced off -> sequential even in auto
+    assert runner.resolve_clip_workers(
+        Params(use_native_decode="off"), 5) == (1, 1)

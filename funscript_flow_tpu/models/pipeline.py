@@ -214,7 +214,6 @@ class StreamingFlowAnalyzer:
         self._s = 0            # next pair index to emit
         self._n_frames = 0
         self._pending: list = []  # dispatched-but-unmaterialized device results
-        self._fetching: list = []  # finished windows with D2H copy in flight
         # Upload policy. Multi-core hosts: a single-worker uploader thread
         # runs window assembly (np.stack, ~16 MB) + H2D device_put + program
         # dispatch off the caller's thread on a spare core, so the caller
@@ -293,10 +292,10 @@ class StreamingFlowAnalyzer:
                 windows.append(self._frames_window(ad, bd))
                 n_valid.append(bd - ad)
                 segs.append((d, sd - ad, ed - ad))
-            res = analyze_windows_sharded(
+            res = self._start_fetch(analyze_windows_sharded(
                 np.stack(windows), np.asarray(n_valid, np.int32),
                 self.cfg, self.mesh,
-            )
+            ))
             self._pending.append((res, segs))
         self._s = e
         drop = max(0, (self._s - r) - self._base)
@@ -319,7 +318,24 @@ class StreamingFlowAnalyzer:
         else:
             win_dev = jnp.asarray(window)
             nv = jnp.int32(n_valid)
-        return flow_chunk_program(win_dev, nv, self.cfg)
+        return self._start_fetch(flow_chunk_program(win_dev, nv, self.cfg))
+
+    def _start_fetch(self, res):
+        """Start the D2H copies for one window's results at DISPATCH time.
+
+        JAX pipelines the async copy behind the (also async) compute, so by
+        the time _drain materializes a window — one window later mid-run,
+        or at flush — the value is already host-side and device_get returns
+        immediately. Materializing eagerly in _drain instead blocked
+        ~0.2-0.3 s per window on the relay's D2H round trip (~1.1 s per
+        20 s clip); starting copies only at drain time still left flush
+        serializing the last two windows' round trips (~0.45 s, profiled
+        in NOTES_ROUND4)."""
+        for k in self.KEYS:
+            arr = res[k]
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+        return res
 
     def _drain(self, keep: int) -> list:
         out = []
@@ -327,22 +343,10 @@ class StreamingFlowAnalyzer:
             res, segs = self._pending.pop(0)
             if hasattr(res, "result"):
                 res = res.result()  # uploader future; re-raises its errors
-            # Two-stage fetch: START the D2H copy now, MATERIALIZE it on a
-            # later drain call. An eager device_get here blocked ~0.2-0.3 s
-            # per window on the relay's D2H round trip (~1.1 s per 20 s
-            # clip, profiled in NOTES_ROUND4); by the next drain (~0.9 s of
-            # decode later) the async copy has landed and device_get
-            # returns from the cached host value immediately.
-            for k in self.KEYS:
-                arr = res[k]
-                if hasattr(arr, "copy_to_host_async"):
-                    arr.copy_to_host_async()
-            self._fetching.append((res, segs))
-        while len(self._fetching) > (1 if keep else 0):
-            res, segs = self._fetching.pop(0)
             # one device_get for the whole dict: per-key np.asarray costs a
             # separate D2H round trip each (~140 ms/batch over the relay vs
-            # ~40 ms batched — measured)
+            # ~40 ms batched — measured); the copy itself has been in
+            # flight since dispatch (_start_fetch)
             np_res = jax.device_get({k: res[k] for k in self.KEYS})
             for d, lo, hi in segs:
                 if hi <= lo:

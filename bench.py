@@ -40,10 +40,12 @@ Extra fields in the same line:
   absolute numbers 2-3x (NOTES_ROUND3 "measurement traps").
 * ``vr_decode_only_s`` / ``vr_overlap_efficiency`` — same pairing for the
   VR scenario (its ceiling is 4K h264 decode).
-* ``host_cores`` — os.cpu_count(); ``threads_x_realtime`` — the headline
-  clip with ``threads=host_cores`` sharded decode, reported only when the
-  box has >1 core (0.0 otherwise): the decode-scaling datapoint the 20x
-  target depends on (VERDICT r3 #3).
+* ``host_cores`` — os.cpu_count(); ``threads_x_realtime`` /
+  ``threads1_x_realtime`` — the headline clip with an explicit
+  ``threads=host_cores`` vs ``threads=1`` sharded-decode run (both
+  best-of-3 paired), reported only when the box has >1 core (0.0
+  otherwise): the decode-scaling datapoint the 20x target depends on
+  (VERDICT r3 #3).
 * ``codec`` — "h264" (native encoder) or "mp4v" (fallback).
 
 Baseline: the reference is "usually faster than watching it" on a desktop
@@ -224,11 +226,11 @@ def main() -> None:
 
     params = Params(overwrite=True)
 
-    # Warm up compilation for the production shapes the 20 s clip actually
-    # dispatches (the production path ships grayscale; warming RGB would
-    # compile a program the run never uses): the full 240-pair window, the
-    # 120-pair tail bucket (599 pairs = 2x240 + 119), and the 60-pair
-    # first-window ramp (StreamingFlowAnalyzer.ramp_pairs).
+    # Warm up compilation for the production shapes the scenarios actually
+    # dispatch (the production path ships grayscale; warming RGB would
+    # compile a program the run never uses). With the first-window ramp the
+    # 20 s clip partitions as 60+240+240+59 -> buckets {240, 60}; the VR
+    # clips (179 pairs = ramp 60 + tail 119) add the 120 bucket.
     import jax.numpy as jnp
 
     cfg = PipelineConfig(pair_batch=params.pair_batch)
@@ -254,15 +256,19 @@ def main() -> None:
     pairs_per_s = n_pairs / max(device_compute, 1e-9)
 
     # --- scenario 1b: sharded decode scaling (only meaningful with >1 host
-    # core; the headline already runs threads=min(8, cores), so the extra
-    # datapoint is the FORCED single-shard run the scaling ratio needs) ---
+    # core): an EXPLICIT threads=host_cores run vs an explicit threads=1
+    # run, both best-of-3 paired — symmetric legs, correctly labeled even
+    # on >8-core hosts where the headline's default threads=8 clamp would
+    # otherwise masquerade as a host_cores datapoint ---
     host_cores = os.cpu_count() or 1
     threads_x_rt = threads1_x_rt = 0.0
     if host_cores > 1:
-        threads_x_rt = x_rt  # headline used threads=8 clamped to cores
+        rn = _timed_runs(process_video, main_clip,
+                         Params(overwrite=True, threads=host_cores), 3,
+                         DURATION_S)
+        threads_x_rt = rn["x"] if rn else 0.0
         r1 = _timed_runs(process_video, main_clip,
-                         Params(overwrite=True, threads=1), 3, DURATION_S,
-                         paired=False)
+                         Params(overwrite=True, threads=1), 3, DURATION_S)
         threads1_x_rt = r1["x"] if r1 else 0.0
 
     # --- scenario 2: folder batch (3 clips, 40 s of video), best of 6 —

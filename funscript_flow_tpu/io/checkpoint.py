@@ -96,6 +96,7 @@ def fingerprint(video_path: str, meta, params, engine: str | None = None) -> str
     from ..ops.farneback import FarnebackConfig, resolved_numerics
 
     st = os.stat(video_path)
+    eng = str(engine) if engine is not None else default_engine(params, meta)
     return json.dumps({
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
@@ -107,8 +108,15 @@ def fingerprint(video_path: str, meta, params, engine: str | None = None) -> str
         "backend": str(params.backend),
         "dis_preset": str(params.dis_preset),
         "cut_threshold": float(params.cut_threshold),
-        "engine": (str(engine) if engine is not None
-                   else default_engine(params, meta)),
+        "engine": eng,
+        # FF_PUMP_SLF overrides the fast engine's loop-filter policy and
+        # bitwise changes decoded frames (frame_pump.cpp; tested on the
+        # >=6 MP gate fixture), so a sidecar written under one override
+        # must not resume under another. Under "auto" the gate resolves
+        # deterministically from the clip itself; the exact engine never
+        # loop-filter-skips, so its sidecars ignore the env var.
+        "slf": ((os.environ.get("FF_PUMP_SLF") or "auto")
+                if eng == "fast" else "n/a"),
         "flow": resolved_numerics(FarnebackConfig(
             use_pallas=params.use_pallas, warp_backend=params.warp_backend)),
     }, sort_keys=True)

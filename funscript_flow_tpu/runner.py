@@ -253,19 +253,32 @@ def _make_frame_source(video_path, meta, params: Params, cancel_flag, log_func,
 
 
 def _planned_tail_buckets(pair_batch: int, radius: int, n_pairs: int) -> list:
-    """The window bucket sizes StreamingFlowAnalyzer will dispatch for an
-    ``n_pairs`` video (single-device path), excluding the full ``pair_batch``
-    window the main loop compiles on its own. Mirrors push()/flush()/
-    _tail_bucket exactly (tested against the analyzer)."""
+    """The non-full window bucket sizes StreamingFlowAnalyzer will dispatch
+    for an ``n_pairs`` video under the runner's pull pattern (first pull =
+    ``ramp_pairs + radius + 1`` frames, then ``pair_batch`` per pull;
+    single-device path), excluding the full ``pair_batch`` window the main
+    loop compiles on its own. Mirrors push()'s first-window ramp, the full
+    window loop, and flush()/_tail_bucket exactly (tested against the
+    analyzer — a missed shape here means flush() or the first dispatch
+    blocks on a fresh executable load the prewarm exists to hide)."""
+    def tail_bucket(n: int) -> int:
+        b = pair_batch
+        while b // 2 >= max(n, 32):
+            b //= 2
+        return b
+
+    buckets = []
     s = 0
+    ramp = tail_bucket(1)  # == StreamingFlowAnalyzer.ramp_pairs
+    if ramp < pair_batch and n_pairs >= ramp + radius:
+        # the runner's priming pull makes the ramp window fire first
+        buckets.append(ramp)
+        s = ramp
     while n_pairs >= s + pair_batch + radius:
         s += pair_batch
-    buckets = []
     while s < n_pairs:
         e = min(s + pair_batch, n_pairs)
-        b = pair_batch
-        while b // 2 >= max(e - s, 32):
-            b //= 2
+        b = tail_bucket(e - s)
         if b != pair_batch and b not in buckets:
             buckets.append(b)
         s = e

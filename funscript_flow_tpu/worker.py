@@ -63,16 +63,30 @@ class BatchWorker(threading.Thread):
             if n_workers > 1:
                 # same in-flight-clip parallelism as the headless folder
                 # runner (runner._run_videos_parallel): one clip per chip
-                # with a mesh, N clips sharing the single chip otherwise
+                # with a mesh, N clips sharing the single chip otherwise.
+                # The GUI has ONE per-video progress bar; with N videos in
+                # flight, forward the longest-running video's percentage
+                # (insertion-ordered dict) so the bar advances like the
+                # sequential path instead of oscillating between videos.
+                # Both callbacks run under _run_videos_parallel's lock, so
+                # `active` needs no locking of its own.
+                active: dict = {}
+
+                def on_vprog(video, pct):
+                    active[video] = max(pct, active.get(video, 0))
+                    self._on_video_progress(next(iter(active.values())))
+
                 def on_done(video, err):
                     if not err and not self._cancel.is_set():
                         self.generated.append((video, funscript_path(video)))
+                    active.pop(video, None)
+                    self._on_video_progress(
+                        next(iter(active.values())) if active else 100)
 
                 self.error_occurred = _run_videos_parallel(
                     self.files, self.params, log, self._on_progress,
                     n_workers, cancel_flag=self._cancel.is_set,
-                    video_progress_callback=lambda _v, p:
-                        self._on_video_progress(p),
+                    video_progress_callback=on_vprog,
                     n_devices=n_devices, video_done_callback=on_done)
             else:
                 for i, video in enumerate(self.files):

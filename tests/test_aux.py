@@ -298,3 +298,28 @@ def test_resolve_clip_workers():
     # native pump forced off -> sequential even in auto
     assert runner.resolve_clip_workers(
         Params(use_native_decode="off"), 5) == (1, 1)
+
+
+def test_checkpoint_fingerprint_slf_override(tmp_path, monkeypatch):
+    """FF_PUMP_SLF bitwise changes fast-engine decode output, so a
+    fast-engine sidecar written under one override must not resume under
+    another; the exact engine never loop-filter-skips, so its sidecars
+    ignore the env var (code-review r4 finding)."""
+    from funscript_flow_tpu.io import checkpoint as ck
+    from funscript_flow_tpu.io.decode import VideoMeta
+
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"0" * 100)
+    meta = VideoMeta(total_frames=60, fps=30.0, width=64, height=64)
+
+    monkeypatch.delenv("FF_PUMP_SLF", raising=False)
+    fast_auto = ck.fingerprint(str(video), meta, Params(), engine="fast")
+    exact_auto = ck.fingerprint(str(video), meta, Params(), engine="exact")
+    monkeypatch.setenv("FF_PUMP_SLF", "all")
+    assert ck.fingerprint(str(video), meta, Params(),
+                          engine="fast") != fast_auto
+    assert ck.fingerprint(str(video), meta, Params(),
+                          engine="exact") == exact_auto
+    monkeypatch.setenv("FF_PUMP_SLF", "")  # empty = auto (falsy)
+    assert ck.fingerprint(str(video), meta, Params(),
+                          engine="fast") == fast_auto

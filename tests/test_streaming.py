@@ -125,13 +125,27 @@ def test_planned_tail_buckets_match_analyzer(monkeypatch):
         }
 
     monkeypatch.setattr(pl, "flow_chunk_program", fake_program)
-    cfg = pl.PipelineConfig(pair_batch=B)
     frame = np.zeros((4, 4), np.uint8)
-    for n_pairs in list(range(1, 130, 7)) + [47, 48, 49, 95, 96, 97, 144]:
-        shapes.clear()
-        an = pl.StreamingFlowAnalyzer(cfg)
-        an.push([frame] * (n_pairs + 1))
-        an.flush()
-        got = sorted({s for s in shapes if s != B})
-        want = sorted(_planned_tail_buckets(B, an.radius, n_pairs))
-        assert got == want, (n_pairs, got, want)
+    # B=48: ramp == pair_batch (no ramp window); B=128: ramp=32 fires on
+    # every clip with >= 38 pairs — the production shape (pair_batch=240,
+    # ramp=60) behaves like the latter (code-review r4 finding: the old
+    # predictor ignored the ramp partition entirely)
+    for B in (48, 128):
+        cfg = pl.PipelineConfig(pair_batch=B)
+        for n_pairs in list(range(1, 3 * B + 20, 7)) + [
+                B - 1, B, B + 1, 2 * B - 1, 2 * B, 2 * B + 1, 3 * B]:
+            shapes.clear()
+            an = pl.StreamingFlowAnalyzer(cfg)
+            # emulate the runner's pull pattern: priming pull of
+            # ramp + radius + 1 frames, then pair_batch per pull
+            total = n_pairs + 1
+            sent = min(an.ramp_pairs + an.radius + 1, total)
+            an.push([frame] * sent)
+            while sent < total:
+                n = min(B, total - sent)
+                an.push([frame] * n)
+                sent += n
+            an.flush()
+            got = sorted({s for s in shapes if s != B})
+            want = sorted(_planned_tail_buckets(B, an.radius, n_pairs))
+            assert got == want, (B, n_pairs, got, want)

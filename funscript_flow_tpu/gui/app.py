@@ -12,8 +12,10 @@ with CPython, so the GUI is rebuilt on tkinter with the same surface:
   defaults follow the CLI (the reference GUI had *different* defaults,
   SURVEY.md §2.1 #22; we use one set)
 * Run/Cancel, overall + per-video progress bars, live log pane
-* completion dialog offering View Log / Open in Preview (browser preview,
-  gui.preview) — reference :2426-2444
+* completion dialog offering View Log / Open in Preview — reference
+  :2426-2444; preview is embedded in-app (gui.player, the reference's
+  preview-tab parity) with gui.preview's browser page as fallback, plus a
+  Preview button for any listed/selected video
 * working config save/load buttons (the reference's save was unreachable
   from its UI, :2266-2281)
 * hover tooltips on the mode checkboxes (reference ToolTip, :391-395,
@@ -181,6 +183,29 @@ def launch() -> int:
         txt.pack(fill="both", expand=True, padx=6, pady=6)
 
     ttk.Button(bar, text=STRINGS["readme"], command=show_readme).pack(side="right")
+
+    def open_preview(video: str) -> None:
+        """Embedded in-app preview (reference tab :1871-1992); falls back to
+        the browser page when the video cannot be opened via cv2."""
+        from .player import open_preview_window
+
+        if open_preview_window(root, video) is None:
+            from .preview import write_preview
+
+            page = write_preview(video)
+            webbrowser.open(f"file://{os.path.abspath(page)}")
+
+    def preview_selected():
+        sel = listbox.curselection()
+        if sel:
+            open_preview(files[sel[0]])
+        else:
+            p = filedialog.askopenfilename(title="Select a video to preview")
+            if p:
+                open_preview(p)
+
+    ttk.Button(bar, text="Preview", command=preview_selected).pack(
+        side="right", padx=4)
 
     # drag-and-drop via the tkdnd Tk extension when present (reference
     # :2511-2516); silently unavailable otherwise — the pickers cover it
@@ -364,11 +389,8 @@ def launch() -> int:
             if error:
                 msg += " " + STRINGS["processing_completed_with_errors"]
             if generated and messagebox.askyesno(
-                    "Done", msg + "\nOpen the last result in the browser preview?"):
-                from .preview import write_preview
-
-                page = write_preview(generated[-1][0])
-                webbrowser.open(f"file://{os.path.abspath(page)}")
+                    "Done", msg + "\nOpen the last result in the preview?"):
+                open_preview(generated[-1][0])
             elif w is not None and w.log_path:
                 messagebox.showinfo("Done", f"{msg}\nLog: {w.log_path}")
         root.after(0, _done)

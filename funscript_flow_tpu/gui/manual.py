@@ -38,8 +38,10 @@ ADVANCED SETTINGS
                    (default). DIS = the faster inverse-search algorithm.
 
 RESULTS
-  The preview button opens the finished script over the video in your
-  browser: polyline timeline, playhead sync, and a motion indicator bar.
+  The Preview button plays the finished script over the video inside the
+  app: polyline timeline (wheel zoom, drag pan, click seek), playhead
+  sync, and a motion indicator bar. "Open in browser" serves the same
+  page as a standalone HTML preview.
 
 BATCHING
   Point it at a folder and it processes everything recursively. A run

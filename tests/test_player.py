@@ -229,3 +229,14 @@ def test_scaled_frame_fits_box(clip):
 def test_frame_reader_missing_file(tmp_path):
     with pytest.raises(OSError):
         FrameReader(str(tmp_path / "nope.mp4"))
+
+
+def test_open_preview_window_fallback_without_display(tmp_path):
+    """An unopenable video returns None (the app then falls back to the
+    browser page) before any tk object is created — so this holds even on
+    a displayless TPU host."""
+    from funscript_flow_tpu.gui.player import open_preview_window
+
+    bogus = tmp_path / "not_a_video.mp4"
+    bogus.write_bytes(b"plainly not a container")
+    assert open_preview_window(None, str(bogus)) is None

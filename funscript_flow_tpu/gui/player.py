@@ -12,8 +12,12 @@ framework's own decode substrate: cv2.VideoCapture frames (the exact
 engine's oracle path) pushed into a tk.Canvas as PPM-encoded PhotoImages.
 Everything with logic in it — timeline math, zoom/pan, interpolation,
 aspect fit, the playback clock, PPM encoding — is display-independent and
-tested headless; the tk shell (PreviewWindow) is a thin event loop, the
-same policy the rest of gui.app follows.
+tested headless; the tk shell is a thin event loop, the same policy the
+rest of gui.app follows.
+
+Honest delta vs the reference player: playback is silent (tk has no audio
+sink; QMediaPlayer has one). "Open in browser" serves the HTML page whose
+``<video>`` plays audio natively when sound matters.
 """
 
 from __future__ import annotations

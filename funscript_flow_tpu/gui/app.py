@@ -204,7 +204,7 @@ def launch() -> int:
             if p:
                 open_preview(p)
 
-    ttk.Button(bar, text="Preview", command=preview_selected).pack(
+    ttk.Button(bar, text=STRINGS["show_preview"], command=preview_selected).pack(
         side="right", padx=4)
 
     # drag-and-drop via the tkdnd Tk extension when present (reference

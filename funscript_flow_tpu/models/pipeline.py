@@ -192,7 +192,7 @@ class StreamingFlowAnalyzer:
     KEYS = ("dots", "cuts", "centers", "mean_mag", "val_pos")
 
     def __init__(self, cfg: PipelineConfig | None = None, mesh=None,
-                 device=None):
+                 device=None, n_pairs_total: int | None = None):
         """``mesh``: optional jax.sharding.Mesh — each dispatch then covers
         ``n_devices * pair_batch`` pairs, one halo'd window per device under
         shard_map (parallel.dp). Per-pair results are bitwise identical to
@@ -202,10 +202,18 @@ class StreamingFlowAnalyzer:
         ``device``: optional single jax.Device to pin dispatches to (jit
         follows committed inputs) — the unit of video-level data parallelism
         in run_headless's folder mode (one analyzer per device, one video
-        each). Mutually exclusive with ``mesh``."""
+        each). Mutually exclusive with ``mesh``.
+
+        ``n_pairs_total``: the video's known pair count (upper bound — a
+        truncated container may deliver fewer, which flush() handles with
+        real counts). Knowing the total enables the tail ramp-DOWN
+        (``_ramp_down``): without it the last sub-batch of pairs can only
+        dispatch at flush(), serializing a whole window's decode + H2D +
+        compute + D2H past the final decoded frame."""
         self.cfg = cfg or PipelineConfig()
         self.mesh = mesh
         self.device = device
+        self._n_total = n_pairs_total
         assert mesh is None or device is None
         self._D = 1 if mesh is None else int(mesh.devices.size)
         self.radius = CENTER_SMOOTH_RADIUS
@@ -357,6 +365,45 @@ class StreamingFlowAnalyzer:
                     out.append({k: np_res[k][d, lo:hi] for k in self.KEYS})
         return out
 
+    def _tail_chain(self):
+        """Sub-batch window bucket sizes, descending — exactly the shapes
+        ``_tail_bucket`` can return below ``pair_batch``, so the tail
+        ramp-down never introduces a compile shape the prewarm
+        (runner._planned_tail_buckets) doesn't already cover."""
+        b = self.cfg.pair_batch
+        while b // 2 >= 32:
+            b //= 2
+            yield b
+
+    def _ramp_down(self) -> None:
+        """Tail ramp-DOWN (single-device, total known): once no full window
+        fits before EOF, dispatch the remaining pairs as DESCENDING buckets
+        as soon as each window's frames (+halo) have decoded, so the only
+        round trip serialized after the final decoded frame is the smallest
+        final window's — not a whole window's worth of decode followed by a
+        full H2D + compute + D2H (round 4's fixed ~0.7 s/clip flush tail).
+        Mirrors the first-window ramp-UP at the other end of the clip.
+
+        A sub-window of size ``b`` is only split off when its halo still
+        ends strictly before the final frame (``b < remaining - radius``):
+        a window that needs the last frame anyway cannot overlap any decode,
+        and splitting it would only add relay round trips. Bitwise-invariant
+        to the partition (every pair sees the same halo'd frames; tested
+        partition invariance)."""
+        n_total, r, B = self._n_total, self.radius, self.cfg.pair_batch
+        avail = self._n_frames - 1  # pairs decodable so far
+        while self._s < n_total and n_total < self._s + B + r:
+            remaining = n_total - self._s
+            b = next((c for c in self._tail_chain() if c < remaining - r), 0)
+            if b:
+                if avail < self._s + b + r:
+                    return  # halo frames not decoded yet; retry next push
+                self._dispatch(self._s + b, n_total)
+            else:
+                if avail < n_total:
+                    return  # the final window needs the last frame
+                self._dispatch(n_total, n_total)
+
     @property
     def ramp_pairs(self) -> int:
         """First-window ramp size in pairs (single-device): the SMALLEST
@@ -385,6 +432,10 @@ class StreamingFlowAnalyzer:
         # pairs available so far: one per frame except the last
         while self._n_frames - 1 >= self._s + B + r:
             self._dispatch(self._s + B, None)
+        # tail ramp-down: the total is known and no further full window fits
+        # before EOF — dispatch descending tail buckets while decode runs
+        if self.mesh is None and self._n_total is not None:
+            self._ramp_down()
         return self._drain(keep=1)
 
     def drain_pending(self) -> list:
@@ -396,7 +447,14 @@ class StreamingFlowAnalyzer:
         return self._drain(keep=0)
 
     def flush(self) -> list:
-        """Video ended: emit remaining pairs with end-truncated smoothing."""
+        """Video ended: emit remaining pairs with end-truncated smoothing.
+
+        With ``n_pairs_total`` provided and the container delivering every
+        promised frame, the tail ramp-down already dispatched everything and
+        this just drains. The dispatch loop below is the fallback for an
+        unknown total or a truncated container (fewer real frames than the
+        metadata promised) — it uses ACTUAL counts, so truncation keeps the
+        reference's failure semantics (process what arrived)."""
         n_total = max(self._n_frames - 1, 0)
         while self._s < n_total:
             e = min(self._s + self.cfg.pair_batch * self._D, n_total)

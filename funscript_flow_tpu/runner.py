@@ -31,6 +31,7 @@ from .io import decode as iodec
 from .io.funscript import funscript_path, write_funscript
 from .models.pipeline import (PipelineConfig, StreamingFlowAnalyzer,
                               flow_chunk_program)
+from .ops.reductions import CENTER_SMOOTH_RADIUS
 from .ops import signal_host
 from .ops.signal import DISCONTINUITY_THRESHOLD, signal_chain_device
 from .utils.logging import StageTimers, profile_trace
@@ -256,32 +257,46 @@ def _planned_tail_buckets(pair_batch: int, radius: int, n_pairs: int) -> list:
     """The non-full window bucket sizes StreamingFlowAnalyzer will dispatch
     for an ``n_pairs`` video under the runner's pull pattern (first pull =
     ``ramp_pairs + radius + 1`` frames, then ``pair_batch`` per pull;
-    single-device path), excluding the full ``pair_batch`` window the main
-    loop compiles on its own. Mirrors push()'s first-window ramp, the full
-    window loop, and flush()/_tail_bucket exactly (tested against the
-    analyzer — a missed shape here means flush() or the first dispatch
-    blocks on a fresh executable load the prewarm exists to hide)."""
+    single-device path, total handed to the analyzer), excluding the full
+    ``pair_batch`` window the main loop compiles on its own. Mirrors
+    push()'s first-window ramp, the full-window loop, and the tail
+    ramp-down exactly (tested against the analyzer — a missed shape here
+    means a dispatch blocks on a fresh executable load the prewarm exists
+    to hide)."""
     def tail_bucket(n: int) -> int:
         b = pair_batch
         while b // 2 >= max(n, 32):
             b //= 2
         return b
 
+    chain = []  # == StreamingFlowAnalyzer._tail_chain
+    c = pair_batch
+    while c // 2 >= 32:
+        c //= 2
+        chain.append(c)
+
     buckets = []
+
+    def add(b):
+        if b != pair_batch and b not in buckets:
+            buckets.append(b)
+
     s = 0
     ramp = tail_bucket(1)  # == StreamingFlowAnalyzer.ramp_pairs
     if ramp < pair_batch and n_pairs >= ramp + radius:
         # the runner's priming pull makes the ramp window fire first
-        buckets.append(ramp)
+        add(ramp)
         s = ramp
     while n_pairs >= s + pair_batch + radius:
         s += pair_batch
-    while s < n_pairs:
-        e = min(s + pair_batch, n_pairs)
-        b = tail_bucket(e - s)
-        if b != pair_batch and b not in buckets:
-            buckets.append(b)
-        s = e
+    while s < n_pairs:  # tail ramp-down partition
+        b = next((c for c in chain if c < (n_pairs - s) - radius), 0)
+        if b:
+            add(b)
+            s += b
+        else:
+            add(tail_bucket(n_pairs - s))
+            s = n_pairs
     return buckets
 
 
@@ -382,9 +397,10 @@ def process_video(video_path: str, params: Params, log_func,
         mesh = make_mesh(params.mesh)
         log_func(STRINGS["mesh_devices"].format(
             n=params.mesh, platform=mesh.devices.flat[0].platform))
-    analyzer = StreamingFlowAnalyzer(cfg, mesh=mesh, device=device)
 
     # --- intra-video checkpoint / resume (io.checkpoint docstring) ---
+    # (the analyzer is constructed AFTER resume so it knows its LOCAL pair
+    # total — what the tail ramp-down schedules against)
     n_pairs_total = n_samples - 1
     ckpt_path = ckpt_fp = None
     prefix_dots = np.zeros(0, np.float32)
@@ -409,7 +425,7 @@ def process_video(video_path: str, params: Params, log_func,
             # restart r pairs early: pairs >= start_pair need the centers of
             # pairs down to start_pair - r for the ±r temporal smoothing;
             # everything before that is independent per pair
-            resume_base = max(0, start_pair - analyzer.radius)
+            resume_base = max(0, start_pair - CENTER_SMOOTH_RADIUS)
             discard = start_pair - resume_base
             prefix_dots = loaded[0][:start_pair]
             prefix_cuts = loaded[1][:start_pair]
@@ -420,6 +436,8 @@ def process_video(video_path: str, params: Params, log_func,
                                         log_func, start_sample=resume_base)
             if source is None:
                 return True
+    analyzer = StreamingFlowAnalyzer(cfg, mesh=mesh, device=device,
+                                     n_pairs_total=n_pairs_total - resume_base)
     if mesh is None:
         _prewarm_tail_async(cfg, analyzer.radius,
                             n_pairs_total - resume_base, device)
@@ -556,23 +574,28 @@ def resolve_clip_workers(params: Params, n_files: int) -> tuple:
     """(n_workers, n_devices) for a folder run: how many clips are in
     flight at once, over how many chips. ``clip_workers=0`` (auto) keeps
     one clip per chip when a mesh is configured; on a single chip it runs
-    TWO in-flight clips (VERDICT r3 #7) — the chip is >85% idle at the
-    host decode ceiling, so clip B's GIL-free C++ decode fills clip A's
-    host-side serial sections (open/probe, window assembly + dispatch,
-    signal chain, emit). Measured on the 3-clip h264 folder bench, 1-core
-    host, alternating reps: best 16.3 s sequential -> 9.9 s with two
-    workers; 3 workers = parity with 2 (NOTES_ROUND4). ``clip_workers=1``
-    restores the strictly sequential path; the auto default stays
-    sequential when the native pump is unavailable (the Python decode
-    path has no idle gaps worth filling and the extra thread only adds
-    GIL contention)."""
+    ``min(host_cores + 1, 4)`` in-flight clips — the chip is >85% idle at
+    the host decode ceiling, so an extra clip's GIL-free C++ decode fills
+    another clip's host-side serial sections (open/probe, window assembly
+    + dispatch, signal chain, emit). The +1 is that gap-filler; the cap
+    bounds memory (each in-flight clip holds a decode ring + a pending
+    device window) and reflects the measured flat spot: on the 1-core
+    bench box, 2 workers took the 3-clip folder from 16.3 s to 9.9 s and
+    3 workers were parity with 2 (decode is core-bound — extra workers
+    beyond cores+1 add contention, not decode; NOTES_ROUND4). On a
+    multi-core box bench.py's folder_seq leg produces the scaling
+    datapoint (VERDICT r4 #3). ``clip_workers=1`` restores the strictly
+    sequential path; auto stays sequential when the native pump is
+    unavailable (the Python decode path has no idle gaps worth filling
+    and the extra thread only adds GIL contention)."""
     n_devices = max(1, min(params.mesh or 1, n_files))
     if params.clip_workers > 0:
         return min(params.clip_workers, n_files), n_devices
     if n_devices > 1:
         return n_devices, n_devices
     native = _detect_native(params, lambda m: None) is not None
-    return (min(2, n_files) if native else 1), 1
+    auto = min((os.cpu_count() or 1) + 1, 4)
+    return (min(auto, n_files) if native else 1), 1
 
 
 def _run_videos_parallel(files, params: Params, log_func,

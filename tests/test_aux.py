@@ -267,11 +267,13 @@ def test_checkpoint_fingerprint_resolved_engine(tmp_path, monkeypatch):
     assert ck.default_engine(Params(use_native_decode="off")) == "exact"
 
 
-def test_resolve_clip_workers():
-    """Folder-run worker/device resolution (VERDICT r3 #7): auto = one
-    clip per chip with a mesh, two in-flight clips on a single chip (when
-    the native pump exists), strictly sequential on explicit
-    clip_workers=1; explicit counts clamp to the file count."""
+def test_resolve_clip_workers(monkeypatch):
+    """Folder-run worker/device resolution (VERDICT r3 #7, r4 #3): auto =
+    one clip per chip with a mesh, min(cores+1, 4) in-flight clips on a
+    single chip (when the native pump exists), strictly sequential on
+    explicit clip_workers=1; explicit counts clamp to the file count."""
+    import os as _os
+
     from funscript_flow_tpu import runner
     from funscript_flow_tpu import runtime as rt
 
@@ -290,9 +292,13 @@ def test_resolve_clip_workers():
     # auto, multi-chip: one clip per chip (devices clamp to files too)
     assert runner.resolve_clip_workers(Params(mesh=3), 5) == (3, 3)
     assert runner.resolve_clip_workers(Params(mesh=3), 2) == (2, 2)
-    # auto, single chip: two in-flight clips iff the native pump is up
-    expect = 2 if native else 1
-    assert runner.resolve_clip_workers(Params(), 5) == (expect, 1)
+    # auto, single chip: cores+1 (capped at 4) in-flight clips iff the
+    # native pump is up — core-aware shape, exercised for 1/3/16 cores
+    for cores, want in ((1, 2), (3, 4), (16, 4)):
+        monkeypatch.setattr(_os, "cpu_count", lambda c=cores: c)
+        expect = want if native else 1
+        assert runner.resolve_clip_workers(Params(), 5) == (expect, 1)
+    monkeypatch.undo()
     # one file never parallelizes
     assert runner.resolve_clip_workers(Params(), 1) == (1, 1)
     # native pump forced off -> sequential even in auto

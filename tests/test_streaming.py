@@ -60,6 +60,56 @@ def test_streaming_ramp_window_equals_batch():
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
 
+@pytest.mark.parametrize("n_frames", [120, 87, 167, 100])
+def test_streaming_ramp_down_equals_batch(n_frames):
+    """Tail ramp-DOWN (total handed to the analyzer): the remaining pairs
+    after the last full window dispatch as descending buckets during decode
+    instead of one window at flush — a dispatch-schedule change only, so
+    results must stay bitwise identical to the batch analyzer."""
+    frames = np.stack(ref.make_synthetic_frames(n_frames, h=48, w=48,
+                                                period=9, seed=11))
+    cfg = PipelineConfig(pair_batch=80)
+    want = FlowAnalyzer(cfg).analyze_video_pairs(frames)
+
+    st = StreamingFlowAnalyzer(cfg, n_pairs_total=n_frames - 1)
+    results = []
+    # runner pull pattern: priming pull of ramp + radius + 1, then B per pull
+    sent = min(st.ramp_pairs + st.radius + 1, n_frames)
+    results.extend(st.push(list(frames[:sent])))
+    while sent < n_frames:
+        n = min(cfg.pair_batch, n_frames - sent)
+        results.extend(st.push(list(frames[sent : sent + n])))
+        sent += n
+    # with the total known and every frame delivered, the ramp-down already
+    # dispatched the final window inside push()
+    assert st.pairs_emitted == n_frames - 1
+    results.extend(st.flush())
+    got = {k: np.concatenate([r[k] for r in results]) for k in st.KEYS}
+    for k in st.KEYS:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_streaming_truncated_total_falls_back_to_flush():
+    """n_pairs_total is an upper bound: when the container truncates (fewer
+    real frames than metadata promised) the final window never becomes
+    dispatchable in push() and flush() must emit the remainder with REAL
+    counts — same funscript semantics as an unknown total."""
+    frames = np.stack(ref.make_synthetic_frames(70, h=48, w=48, period=9,
+                                                seed=5))
+    cfg = PipelineConfig(pair_batch=80)
+    want = FlowAnalyzer(cfg).analyze_video_pairs(frames)
+
+    st = StreamingFlowAnalyzer(cfg, n_pairs_total=119)  # promised 120 frames
+    results = []
+    for i in range(0, len(frames), 47):
+        results.extend(st.push(list(frames[i : i + 47])))
+    results.extend(st.flush())
+    assert st.pairs_emitted == 69
+    got = {k: np.concatenate([r[k] for r in results]) for k in st.KEYS}
+    for k in st.KEYS:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
 def test_compute_actions_routes_discontinuity_to_host(rng):
     """A cumulative-flow jump > 1000 must give the reference's exact
     (re-anchored window grid) result, i.e. the host path."""
@@ -135,7 +185,9 @@ def test_planned_tail_buckets_match_analyzer(monkeypatch):
         for n_pairs in list(range(1, 3 * B + 20, 7)) + [
                 B - 1, B, B + 1, 2 * B - 1, 2 * B, 2 * B + 1, 3 * B]:
             shapes.clear()
-            an = pl.StreamingFlowAnalyzer(cfg)
+            # the runner always hands the analyzer its pair total (tail
+            # ramp-down schedules against it)
+            an = pl.StreamingFlowAnalyzer(cfg, n_pairs_total=n_pairs)
             # emulate the runner's pull pattern: priming pull of
             # ramp + radius + 1 frames, then pair_batch per pull
             total = n_pairs + 1

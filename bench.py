@@ -12,14 +12,22 @@ Extra fields in the same line:
 
 * ``folder_x_realtime`` — the reference's actual workload shape ("a hundred
   gigs per day", README.md:1): a folder of three mixed-length h264 clips
-  through ``run_headless`` with two clips in flight on the one chip
-  (clip_workers auto), best of 6.
+  through ``run_headless`` with N clips in flight on the one chip
+  (clip_workers auto), best of 6; each rep paired with a folder decode
+  calibration (``folder_decode_only_s`` /
+  ``folder_overlap_efficiency[_med]``). ``folder_seq_x_realtime`` — the
+  same folder with clip_workers=1, >1-core boxes only (the clip-worker
+  scaling leg).
 * ``mp4v_x_realtime`` — the same 20 s clip re-encoded as mp4v, best of 4:
   comparable to the round-1/2 headline numbers (mpegvideo codecs keep the
   libav lowres fast-decode path that h264 doesn't have).
 * ``vr_x_realtime`` — a 6 s 4K (3840x1920) side-by-side VR clip with
   ``vr_mode=True`` (512-quadrant crop from >=4K decode — the expensive
-  real-world case, FunscriptFlow.pyw:1076-1079), best of 5.
+  real-world case, FunscriptFlow.pyw:1076-1079), best of 5. The fixture
+  carries the oscillating-zoom SIGNAL (quarter-res render, upscaled), so
+  VR decode speed and VR funscript fast-vs-exact parity are measured on
+  the same content (round 5; the old cheap-pan fixture's signal was below
+  the fast engine's luma residual).
 * ``vr60_x_realtime`` — the same scenario at **60 fps** (the dominant
   real-world VR frame rate): sampling steps to every 2nd frame, so the
   fast engine's grid-aware per-packet ``AVDISCARD_NONREF`` skips off-grid
@@ -38,8 +46,11 @@ Extra fields in the same line:
   nothing over raw decode). The reported value is the best per-rep pair,
   so shared-pool weather cancels out of the ratio even when it moves the
   absolute numbers 2-3x (NOTES_ROUND3 "measurement traps").
-* ``vr_decode_only_s`` / ``vr_overlap_efficiency`` — same pairing for the
-  VR scenario (its ceiling is 4K h264 decode).
+  ``overlap_efficiency_med`` — the MEDIAN of per-rep ratios, the number of
+  record (the max is upward-biased: reps whose calibration leg catches
+  contention inflate their ratio and max selects them — VERDICT r4 #2).
+* ``vr_decode_only_s`` / ``vr_overlap_efficiency[_med]`` — same pairing
+  for the VR scenario (its ceiling is 4K h264 decode).
 * ``host_cores`` — os.cpu_count(); ``threads_x_realtime`` /
   ``threads1_x_realtime`` — the headline clip with an explicit
   ``threads=host_cores`` vs ``threads=1`` sharded-decode run (both
@@ -85,17 +96,18 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
 
     n = int(seconds * fps)
     rng = np.random.default_rng(seed)
-    # >=4K frames: the 2x-supersampled warpAffine costs seconds/frame — use
-    # a cheap pan over a padded texture instead (decode cost, which is what
-    # the VR scenario measures, is content-comparable)
+    # >=4K frames: the 2x-supersampled warpAffine costs seconds/frame at
+    # native res — render the SAME oscillating-zoom signal at quarter res
+    # and upscale (VERDICT r4 #5: the old cheap-pan texture's inter-frame
+    # signal was ~2.3 gray levels, BELOW the fast engine's ~1.5-level luma
+    # residual, so funscript-level fast-vs-exact deltas on the VR fixture
+    # measured normalization-amplified noise; the zoom signal is >=4 gray
+    # levels, so VR decode speed and VR funscript parity are now measured
+    # on the same clip)
     cheap = h * w > 4_000_000
-    pad = 64
-    if cheap:
-        tex = cv2.GaussianBlur(
-            (rng.random((h + 2 * pad, w + 2 * pad)) * 255).astype(np.float32),
-            (0, 0), 5)
-    else:
-        tex = cv2.GaussianBlur((rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 5)
+    rh, rw = (h // 4, w // 4) if cheap else (h, w)
+    tex = cv2.GaussianBlur(
+        (rng.random((rh * 2, rw * 2)) * 255).astype(np.float32), (0, 0), 5)
 
     rt = _native_encoder() if codec == "h264" else None
     if rt is not None:
@@ -114,15 +126,13 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
             tex = cv2.GaussianBlur(
                 (rng.random(tex.shape) * 255).astype(np.float32), (0, 0), 5
             )
+        s = float(np.exp(0.05 * np.sin(2 * np.pi * i / 45.0)))
+        M = cv2.getRotationMatrix2D((rw, rh), 0, s)
+        M[0, 2] += 3.0 * np.sin(2 * np.pi * i / 200.0)
+        img = cv2.warpAffine(tex, M, (rw * 2, rh * 2))[
+            rh // 2 : rh // 2 + rh, rw // 2 : rw // 2 + rw]
         if cheap:
-            dx = int(pad + (pad - 8) * np.sin(2 * np.pi * i / 90.0))
-            dy = int(pad + (pad - 8) * np.cos(2 * np.pi * i / 45.0))
-            img = tex[dy : dy + h, dx : dx + w]
-        else:
-            s = float(np.exp(0.05 * np.sin(2 * np.pi * i / 45.0)))
-            M = cv2.getRotationMatrix2D((w, h), 0, s)
-            M[0, 2] += 3.0 * np.sin(2 * np.pi * i / 200.0)
-            img = cv2.warpAffine(tex, M, (w * 2, h * 2))[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
         bgr = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2BGR)
         if enc is not None:
             enc.write(bgr)
@@ -182,8 +192,15 @@ def _timed_runs(process_video, clip, params, n_runs, duration, vr_mode=False,
         "device_compute": splits[best][1],
         "decode_only": min(finite) if finite else 0.0,
         # best per-rep pair: pool noise moves cal and e2e together within a
-        # rep, so the max ratio is the least-contaminated pipeline measure
+        # rep, so the max ratio is the least-contaminated pipeline measure —
+        # but it is UPWARD-biased (a rep whose CALIBRATION leg catches pool
+        # contention inflates that rep's ratio, and max selects exactly
+        # those reps; the r4 VR artifact reported eff=1.0 while the true
+        # ratio was ~0.73, VERDICT r4 weak #1). The MEDIAN of per-rep
+        # ratios is the number of record; max is kept as the optimistic
+        # upper envelope.
         "efficiency": max(ratios) if ratios else 0.0,
+        "efficiency_med": float(np.median(ratios)) if ratios else 0.0,
     }
 
 
@@ -215,11 +232,14 @@ def main() -> None:
     mp4v_clip = os.path.join(BENCH_DIR, "clip_main_mp4v.mp4")
     if codec == "h264" and not os.path.exists(mp4v_clip):
         make_bench_video(mp4v_clip, DURATION_S, codec="mp4v")
-    vr_clip = os.path.join(BENCH_DIR, f"clip_vr4k_{codec}.mp4")
+    # "zoom" suffix: round-5 signal-representative VR fixtures (oscillating
+    # zoom upscaled from quarter res) — must not reuse a stale cheap-pan
+    # clip cached under the old name
+    vr_clip = os.path.join(BENCH_DIR, f"clip_vr4k_zoom_{codec}.mp4")
     vr_secs = 6.0
     if codec == "h264" and not os.path.exists(vr_clip):
         make_bench_video(vr_clip, vr_secs, h=1920, w=3840, seed=4, codec=codec)
-    vr60_clip = os.path.join(BENCH_DIR, f"clip_vr4k60_{codec}.mp4")
+    vr60_clip = os.path.join(BENCH_DIR, f"clip_vr4k60_zoom_{codec}.mp4")
     if codec == "h264" and not os.path.exists(vr60_clip):
         make_bench_video(vr60_clip, vr_secs, h=1920, w=3840, seed=5,
                          codec=codec, fps=60)
@@ -252,6 +272,7 @@ def main() -> None:
         return
     x_rt, decode_wait, device_compute = r["x"], r["decode_wait"], r["device_compute"]
     decode_only, overlap_eff = r["decode_only"], r["efficiency"]
+    overlap_eff_med = r["efficiency_med"]
     n_pairs = int(DURATION_S * FPS) - 1
     pairs_per_s = n_pairs / max(device_compute, 1e-9)
 
@@ -272,17 +293,51 @@ def main() -> None:
         threads1_x_rt = r1["x"] if r1 else 0.0
 
     # --- scenario 2: folder batch (3 clips, 40 s of video), best of 6 —
-    # two clips in flight on the one chip (clip_workers auto); 6 reps
-    # because this scenario has no paired calibration to cancel pool
-    # weather, so the best-of needs more draws than the headline's ---
+    # N clips in flight on the one chip (clip_workers auto). Each e2e rep
+    # is IMMEDIATELY followed by a folder calibration rep (raw sequential
+    # decode of all three clips in the same pool window), so the folder
+    # scenario carries the same contention-robust efficiency pair the
+    # headline does (VERDICT r4 #2: it previously had none — "6 reps
+    # against pool weather") ---
     total_secs = sum(s for _, s, _, _, _ in folder_specs)
-    folder_x_rt = 0.0
-    for _ in range(6):
-        t0 = time.time()
-        err = run_headless(folder, params,
-                           log_path=os.path.join(BENCH_DIR, "run.log"))
-        if not err:
-            folder_x_rt = max(folder_x_rt, total_secs / (time.time() - t0))
+    folder_clips = [os.path.join(folder, name) for name, *_ in folder_specs]
+
+    def folder_reps(run_params, n_reps):
+        walls, cals = [], []
+        for _ in range(n_reps):
+            t0 = time.time()
+            err = run_headless(folder, run_params,
+                               log_path=os.path.join(BENCH_DIR, "run.log"))
+            wall = time.time() - t0
+            if err:
+                continue
+            walls.append(wall)
+            cals.append(sum(_decode_only(c) for c in folder_clips))
+        if not walls:
+            return {"x": 0.0, "decode_only": 0.0, "efficiency": 0.0,
+                    "efficiency_med": 0.0}
+        ratios = [min(c / w, 1.0) for c, w in zip(cals, walls)
+                  if np.isfinite(c)]
+        finite = [c for c in cals if np.isfinite(c)]
+        return {
+            "x": total_secs / min(walls),
+            "decode_only": min(finite) if finite else 0.0,
+            "efficiency": max(ratios) if ratios else 0.0,
+            "efficiency_med": float(np.median(ratios)) if ratios else 0.0,
+        }
+
+    fr = folder_reps(params, 6)
+    folder_x_rt, folder_decode_only = fr["x"], fr["decode_only"]
+    folder_eff, folder_eff_med = fr["efficiency"], fr["efficiency_med"]
+
+    # --- scenario 2b: clip-workers scaling (only meaningful with >1 host
+    # core, where auto runs cores+1 in-flight clips): an explicit
+    # clip_workers=1 sequential run vs the auto run above — the folder
+    # half of the multi-core evidence row (VERDICT r4 #3/#7) ---
+    folder_seq_x_rt = 0.0
+    if host_cores > 1:
+        folder_seq_x_rt = folder_reps(
+            Params(overwrite=True, clip_workers=1), 3)["x"]
 
     # --- scenario 3: mp4v comparability point (round-1/2 headline shape) ---
     mp4v_x_rt = 0.0
@@ -293,7 +348,7 @@ def main() -> None:
 
     # --- scenario 4: 4K SBS VR clip, vr_mode, best of 5, paired with a
     # same-window raw 4K decode calibration rep (VERDICT r3 #4) ---
-    vr_x_rt = vr_decode_only = vr_overlap_eff = 0.0
+    vr_x_rt = vr_decode_only = vr_overlap_eff = vr_overlap_eff_med = 0.0
     if os.path.exists(vr_clip):
         vr_params = Params(overwrite=True, vr_mode=True)
         r = _timed_runs(process_video, vr_clip, vr_params, 5, vr_secs,
@@ -301,12 +356,14 @@ def main() -> None:
         if r:
             vr_x_rt, vr_decode_only = r["x"], r["decode_only"]
             vr_overlap_eff = r["efficiency"]
+            vr_overlap_eff_med = r["efficiency_med"]
 
     # --- scenario 4b: the same VR shape at 60 fps (the dominant real VR
     # frame rate): step=2 sampling engages grid-aware per-packet
     # AVDISCARD_NONREF, so off-grid non-reference frames are never
     # decoded — the representative premium workload ---
     vr60_x_rt = vr60_decode_only = vr60_overlap_eff = 0.0
+    vr60_overlap_eff_med = 0.0
     if os.path.exists(vr60_clip):
         vr_params = Params(overwrite=True, vr_mode=True)
         r = _timed_runs(process_video, vr60_clip, vr_params, 5, vr_secs,
@@ -314,6 +371,7 @@ def main() -> None:
         if r:
             vr60_x_rt, vr60_decode_only = r["x"], r["decode_only"]
             vr60_overlap_eff = r["efficiency"]
+            vr60_overlap_eff_med = r["efficiency_med"]
 
     print(json.dumps({
         "metric": "1080p30 h264 end-to-end (decode+flow+signal+emit) per chip",
@@ -333,11 +391,18 @@ def main() -> None:
         "decode_ceiling_x_realtime": round(
             DURATION_S / decode_only, 2) if decode_only else 0.0,
         "overlap_efficiency": round(overlap_eff, 2),
+        "overlap_efficiency_med": round(overlap_eff_med, 2),
+        "folder_decode_only_s": round(folder_decode_only, 2),
+        "folder_overlap_efficiency": round(folder_eff, 2),
+        "folder_overlap_efficiency_med": round(folder_eff_med, 2),
+        "folder_seq_x_realtime": round(folder_seq_x_rt, 2),
         "vr_decode_only_s": round(vr_decode_only, 2),
         "vr_overlap_efficiency": round(vr_overlap_eff, 2),
+        "vr_overlap_efficiency_med": round(vr_overlap_eff_med, 2),
         "vr60_x_realtime": round(vr60_x_rt, 2),
         "vr60_decode_only_s": round(vr60_decode_only, 2),
         "vr60_overlap_efficiency": round(vr60_overlap_eff, 2),
+        "vr60_overlap_efficiency_med": round(vr60_overlap_eff_med, 2),
         "host_cores": host_cores,
         "threads_x_realtime": round(threads_x_rt, 2),
         "threads1_x_realtime": round(threads1_x_rt, 2),

@@ -186,14 +186,21 @@ def launch() -> int:
 
     def open_preview(video: str) -> None:
         """Embedded in-app preview (reference tab :1871-1992); falls back to
-        the browser page when the video cannot be opened via cv2."""
+        the browser page when the video cannot be opened via cv2. The
+        fallback itself is guarded: an unwritable page/odd path must show
+        an error dialog, not die silently inside a Tk callback (ADVICE r4)."""
         from .player import open_preview_window
 
         if open_preview_window(root, video) is None:
-            from .preview import write_preview
+            try:
+                from .preview import write_preview
 
-            page = write_preview(video)
-            webbrowser.open(f"file://{os.path.abspath(page)}")
+                page = write_preview(video)
+                webbrowser.open(f"file://{os.path.abspath(page)}")
+            except Exception as e:
+                messagebox.showerror(
+                    STRINGS["show_preview"],
+                    f"Cannot preview {os.path.basename(video)}: {e}")
 
     def preview_selected():
         sel = listbox.curselection()

@@ -136,8 +136,15 @@ def render_preview_html(video_src: str, actions: list, title: str | None = None)
 
 
 def write_preview(video_path: str, out_path: str | None = None) -> str:
-    """Generate ``<video>.preview.html`` next to the video + its funscript."""
-    fs = load_funscript(funscript_path(video_path))
+    """Generate ``<video>.preview.html`` next to the video + its funscript.
+
+    A missing/unreadable funscript renders the page with no actions instead
+    of raising — same tolerance as the embedded player, so the GUI's
+    browser-fallback path can preview any video (ADVICE r4)."""
+    try:
+        fs = load_funscript(funscript_path(video_path))
+    except Exception:
+        fs = {"actions": []}
     out_path = out_path or os.path.splitext(video_path)[0] + ".preview.html"
     html = render_preview_html(os.path.basename(video_path), fs.get("actions", []),
                                title=os.path.basename(video_path))

@@ -51,8 +51,11 @@ def test_timed_runs_paired(monkeypatch):
     assert r["x"] > 2.0
     assert (r["decode_wait"], r["device_compute"]) == (3.0, 4.0)
     assert r["decode_only"] == 0.009
-    # efficiency is the best per-rep cal/wall pair, capped at 1.0
+    # efficiency is the best per-rep cal/wall pair, capped at 1.0; the
+    # median of per-rep ratios is reported alongside (the number of record,
+    # VERDICT r4 #2 — max alone is upward-biased)
     assert 0.0 < r["efficiency"] <= 1.0
+    assert 0.0 < r["efficiency_med"] <= r["efficiency"]
 
 
 def test_timed_runs_unpaired_skips_calibration(monkeypatch):
@@ -65,6 +68,7 @@ def test_timed_runs_unpaired_skips_calibration(monkeypatch):
     assert r is not None
     assert r["decode_only"] == 0.0
     assert r["efficiency"] == 0.0
+    assert r["efficiency_med"] == 0.0
 
 
 def test_timed_runs_error_returns_none(monkeypatch):

@@ -15,9 +15,12 @@ aspect fit, the playback clock, PPM encoding — is display-independent and
 tested headless; the tk shell is a thin event loop, the same policy the
 rest of gui.app follows.
 
-Honest delta vs the reference player: playback is silent (tk has no audio
-sink; QMediaPlayer has one). "Open in browser" serves the HTML page whose
-``<video>`` plays audio natively when sound matters.
+Audio: tk has no audio sink (QMediaPlayer does, the reference's
+:1871-1992). When ``ffplay`` exists on PATH, ``AudioSidecar`` plays the
+clip's audio track in a windowless subprocess restarted from the playback
+clock's position on every play/seek; when it doesn't, playback is silent
+and "Open in browser" serves the HTML page whose ``<video>`` plays audio
+natively.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ __all__ = [
     "PreviewModel",
     "PlaybackClock",
     "FrameReader",
+    "AudioSidecar",
     "open_preview_window",
 ]
 
@@ -115,9 +119,15 @@ class PreviewModel:
         self._clamp_pan()
 
     def follow(self, ms: float) -> bool:
-        """Scroll the view so the playhead stays visible; True if it moved."""
+        """Scroll so the playhead re-enters the view when playback carries
+        it past the RIGHT edge; True if the view moved. A playhead left of
+        (or inside) the view is never touched — the user panned there on
+        purpose, and snapping back would make drag-pan unusable (ADVICE r4;
+        the reference visualizer never auto-scrolls at all,
+        FunscriptFlow.pyw:629,663 — ours follows only during playback, and
+        the caller additionally gates on playing-and-not-dragging)."""
         span = self.view_span()
-        if self.pan_ms <= ms <= self.pan_ms + span:
+        if ms <= self.pan_ms + span:
             return False
         self.pan_ms = ms - 0.1 * span
         self._clamp_pan()
@@ -126,7 +136,10 @@ class PreviewModel:
     # -- data ---------------------------------------------------------------
     def script_value(self, ms: float) -> float:
         """Linearly interpolated script position at ``ms`` (reference
-        :2563-2592); endpoints clamp, no actions -> 50."""
+        :2563-2592); endpoints clamp. Deliberate delta: with NO actions the
+        reference returns 0 (empty motion bar); both this player and the
+        HTML preview return 50 (centered bar) so a script-less video reads
+        as "no signal", not "bottom position" — recorded in PARITY.md."""
         acts = self.actions
         if not acts:
             return 50.0
@@ -163,8 +176,12 @@ class PreviewModel:
 
 class PlaybackClock:
     """Wall-clock playback position with play/pause/seek; injectable ``now``
-    makes it deterministic under test. Clamps to [0, duration] and
-    auto-pauses at the end (the reference's player stops at EOF)."""
+    makes it deterministic under test. With a known duration it clamps to
+    [0, duration] and auto-pauses at the end (the reference's player stops
+    at EOF). ``duration_ms <= 0`` means UNKNOWN (live/odd containers whose
+    header reports no frame count, ADVICE r4): the clock then runs
+    unclamped and never auto-pauses — the shell pauses it when the frame
+    reader actually hits EOF."""
 
     def __init__(self, duration_ms: float, now=time.monotonic):
         self.duration_ms = float(max(duration_ms, 0.0))
@@ -180,15 +197,17 @@ class PlaybackClock:
         pos = self._base_ms
         if self._started_at is not None:
             pos += (self._now() - self._started_at) * 1000.0
-            if pos >= self.duration_ms:
+            if self.duration_ms > 0 and pos >= self.duration_ms:
                 self._base_ms = self.duration_ms
                 self._started_at = None
                 return self.duration_ms
+        if self.duration_ms <= 0:
+            return max(pos, 0.0)
         return min(max(pos, 0.0), self.duration_ms)
 
     def play(self) -> None:
         if self._started_at is None:
-            if self._base_ms >= self.duration_ms:
+            if self.duration_ms > 0 and self._base_ms >= self.duration_ms:
                 self._base_ms = 0.0  # replay from the top
             self._started_at = self._now()
 
@@ -202,21 +221,31 @@ class PlaybackClock:
         return self.playing
 
     def seek(self, ms: float) -> None:
-        self._base_ms = min(max(float(ms), 0.0), self.duration_ms)
+        ms = max(float(ms), 0.0)
+        if self.duration_ms > 0:
+            ms = min(ms, self.duration_ms)
+        self._base_ms = ms
         if self._started_at is not None:
             self._started_at = self._now()
 
 
 class FrameReader:
-    """Sequential-with-seek RGB frame access over cv2.VideoCapture.
+    """Drop-don't-seek RGB frame access over cv2.VideoCapture.
 
-    Playback reads are consecutive (fast path: plain ``read()``); a seek
-    only repositions the demuxer when the requested frame is not within a
-    small forward window of the cursor — cv2 random access re-enters the
-    GOP from its keyframe, so gratuitous seeks would stutter playback.
+    Linear playback NEVER repositions the demuxer: ``frame_at`` reads
+    forward sequentially with a bounded per-call decode budget and, when
+    the clock has outrun decode, displays the newest decoded frame (frames
+    are DROPPED from display, not chased). The round-4 policy seeked
+    whenever playback lagged by more than a small lookahead — on
+    long-GOP content (bench clips: GOP 250) each ``cap.set(POS_FRAMES)``
+    re-enters the GOP from its keyframe, decoding up to 250 frames per
+    33 ms tick, which guaranteed falling further behind (VERDICT r4 #4 —
+    the seek-storm). Only explicit user seeks (``seek_to``: click-to-seek,
+    replay) may reposition; ``seeks``/``frames_decoded`` counters make the
+    zero-seeks-during-linear-playback property measurable.
     """
 
-    SEQ_LOOKAHEAD = 12  # frames we'll burn-read instead of seeking
+    BURN_BUDGET = 30  # max frames decoded per frame_at call (~1 GOP/s at 30 Hz)
 
     def __init__(self, path: str):
         import cv2
@@ -229,38 +258,80 @@ class FrameReader:
         self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         self.height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        # frame_count <= 0 (live/odd containers) -> duration UNKNOWN (0.0):
+        # the clock runs unclamped and the shell pauses on real EOF
         self.duration_ms = (
             self.frame_count / self.fps * 1000.0 if self.frame_count > 0 else 0.0
         )
         self._cursor = 0  # index of the NEXT frame read() returns
         self._last = None  # (index, rgb) of the newest decoded frame
+        self.eof = False
+        self.seeks = 0          # demuxer repositions issued (user seeks only)
+        self.frames_decoded = 0
+
+    @property
+    def last_index(self) -> int:
+        """Index of the newest decoded frame (-1 before the first read)."""
+        return self._last[0] if self._last is not None else -1
 
     def frame_index(self, ms: float) -> int:
         idx = int(ms / 1000.0 * self.fps)
         hi = self.frame_count - 1 if self.frame_count > 0 else idx
         return min(max(idx, 0), max(hi, 0))
 
+    def _read(self):
+        ok, bgr = self.cap.read()
+        if not ok:
+            self.eof = True
+            return None
+        self.frames_decoded += 1
+        self._cursor += 1
+        return bgr
+
     def frame_at(self, ms: float):
-        """RGB frame covering ``ms``; None once the container is exhausted."""
+        """Newest displayable RGB frame for ``ms``; never seeks.
+
+        Reads forward up to BURN_BUDGET frames toward the requested index
+        and returns the newest decoded frame — which is the requested one
+        when decode keeps up, or an older one while it catches up (the
+        drop policy). A request BEHIND the newest decoded frame returns
+        that frame unchanged (going back requires ``seek_to``). None only
+        before anything has decoded on an exhausted container."""
         want = self.frame_index(ms)
-        if self._last is not None and self._last[0] == want:
+        if self._last is not None and want <= self._last[0]:
             return self._last[1]
-        if not (0 <= want - self._cursor <= self.SEQ_LOOKAHEAD):
-            self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, want)
-            self._cursor = want
-        frame = None
-        while self._cursor <= want:
-            ok, bgr = self.cap.read()
-            if not ok:
-                return self._last[1] if self._last is not None else None
-            frame = bgr
-            self._cursor += 1
+        frame, idx = None, -1
+        budget = min(want - self._cursor + 1, self.BURN_BUDGET)
+        for _ in range(max(budget, 0)):
+            bgr = self._read()
+            if bgr is None:
+                break
+            frame, idx = bgr, self._cursor - 1
+        if frame is None:
+            return self._last[1] if self._last is not None else None
         rgb = self._cv2.cvtColor(frame, self._cv2.COLOR_BGR2RGB)
-        self._last = (want, rgb)
+        self._last = (idx, rgb)
         return rgb
 
+    def seek_to(self, ms: float) -> None:
+        """Explicit USER seek: reposition the demuxer (the only place that
+        does). Small forward hops within the decode budget stay sequential
+        — repositioning would re-enter the GOP for frames a few reads
+        away."""
+        want = self.frame_index(ms)
+        if self._last is not None and want == self._last[0]:
+            return
+        if 0 <= want - self._cursor < self.BURN_BUDGET:
+            return  # frame_at will reach it sequentially
+        self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, want)
+        self._cursor = want
+        self._last = None
+        self.eof = False
+        self.seeks += 1
+
     def scaled_frame_at(self, ms: float, box_w: int, box_h: int):
-        """(rgb, w, h) aspect-fit into the box; None at/after EOF."""
+        """(rgb, w, h) aspect-fit into the box; None only with nothing
+        decodable."""
         rgb = self.frame_at(ms)
         if rgb is None:
             return None
@@ -274,6 +345,53 @@ class FrameReader:
             self.cap.release()
         except Exception:
             pass
+
+
+class AudioSidecar:
+    """Optional audio for the embedded preview via an external player.
+
+    tk has no audio sink (the reference's QMediaPlayer does, FunscriptFlow
+    .pyw:1871-1992). When ``ffplay`` is on PATH this plays the clip's audio
+    track in a windowless ``-nodisp -vn`` subprocess started at the playback
+    clock's position — restarted on every play and user seek, terminated on
+    pause/close. When no player binary exists (typical TPU serving box),
+    ``available`` is False and every call is a silent no-op: sound on hosts
+    that have a sink, clean silence otherwise."""
+
+    def __init__(self, path: str, player: str | None = None):
+        import shutil
+
+        self.path = path
+        self.cmd = player if player is not None else shutil.which("ffplay")
+        self.proc = None
+
+    @property
+    def available(self) -> bool:
+        return bool(self.cmd)
+
+    def start(self, pos_ms: float) -> None:
+        """(Re)start audio at ``pos_ms``; no-op without a player binary."""
+        self.stop()
+        if not self.cmd:
+            return
+        import subprocess
+
+        try:
+            self.proc = subprocess.Popen(
+                [self.cmd, "-nodisp", "-vn", "-autoexit", "-loglevel",
+                 "quiet", "-ss", f"{max(pos_ms, 0.0) / 1000.0:.3f}",
+                 self.path],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except Exception:
+            self.proc = None  # degraded to silence, never to an error
+
+    def stop(self) -> None:
+        if self.proc is not None:
+            try:
+                self.proc.terminate()
+            except Exception:
+                pass
+            self.proc = None
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +426,7 @@ def open_preview_window(root, video_path: str, funscript: str | None = None):
 
     model = PreviewModel(actions, reader.duration_ms)
     clock = PlaybackClock(reader.duration_ms)
+    audio = AudioSidecar(video_path)
 
     win = tk.Toplevel(root)
     win.title(f"Preview — {os.path.basename(video_path)}")
@@ -340,18 +459,21 @@ def open_preview_window(root, video_path: str, funscript: str | None = None):
     ttk.Button(transport, text="Open in browser", command=open_browser).pack(
         side="right")
 
-    state = {"img": None, "last_frame_idx": -1, "drag_x": None, "closed": False}
+    state = {"img": None, "last_draw": None, "drag_x": None, "closed": False}
 
     def fmt(ms):
         s = int(ms / 1000)
         return f"{s // 60}:{s % 60:02d}"
 
     def draw_video(pos_ms):
-        idx = reader.frame_index(pos_ms)
-        if idx == state["last_frame_idx"]:
-            return
+        # keyed on (frame index, box size): a canvas resize re-renders even
+        # while paused, and the first tick's 32x32 fallback box doesn't
+        # stick once the window maps (ADVICE r4)
         box_w = max(vid_canvas.winfo_width(), 32)
         box_h = max(vid_canvas.winfo_height(), 32)
+        want = reader.frame_index(pos_ms)
+        if state["last_draw"] == (want, box_w, box_h):
+            return
         got = reader.scaled_frame_at(pos_ms, box_w, box_h)
         if got is None:
             return
@@ -360,7 +482,9 @@ def open_preview_window(root, video_path: str, funscript: str | None = None):
         state["img"] = img  # hold a reference: tk only keeps a weak link
         vid_canvas.delete("all")
         vid_canvas.create_image(box_w // 2, box_h // 2, image=img)
-        state["last_frame_idx"] = idx
+        # record the DECODED index: while decode catches up (drop policy)
+        # it differs from `want`, so the next tick keeps pulling frames
+        state["last_draw"] = (reader.last_index, box_w, box_h)
 
     def draw_bar(pos_ms):
         val = model.script_value(pos_ms)
@@ -391,21 +515,39 @@ def open_preview_window(root, video_path: str, funscript: str | None = None):
         if state["closed"]:
             return
         pos = clock.position_ms()
-        model.follow(pos)
+        # auto-scroll only while actually playing and not mid-drag — a
+        # paused or drag-panned view is the user's to keep (ADVICE r4)
+        if clock.playing and state["drag_x"] is None:
+            model.follow(pos)
         draw_video(pos)
         draw_bar(pos)
         draw_vis(pos)
+        if reader.eof and clock.playing and clock.duration_ms <= 0:
+            clock.pause()  # unknown-duration container hit real EOF
+            audio.stop()
         btn_play.configure(text="Pause" if clock.playing else "Play")
         lbl_time.configure(text=f"{fmt(pos)} / {fmt(reader.duration_ms)}")
         win.after(_TICK_MS, tick)
 
     def on_toggle():
+        at_end = (clock.duration_ms > 0
+                  and clock.position_ms() >= clock.duration_ms)
         clock.toggle()
+        if clock.playing:
+            if at_end:
+                reader.seek_to(0)  # replay: the one non-click user seek
+            audio.start(clock.position_ms())
+        else:
+            audio.stop()
 
     def on_click(ev):
         if state["drag_x"] is not None:
             return
-        clock.seek(model.x_to_ms(ev.x, max(vis.winfo_width(), 1)))
+        ms = model.x_to_ms(ev.x, max(vis.winfo_width(), 1))
+        clock.seek(ms)
+        reader.seek_to(ms)
+        if clock.playing:
+            audio.start(clock.position_ms())
 
     def on_press(ev):
         state["drag_x"] = None  # becomes a drag only if motion follows
@@ -428,6 +570,7 @@ def open_preview_window(root, video_path: str, funscript: str | None = None):
 
     def on_close():
         state["closed"] = True
+        audio.stop()
         reader.close()
         win.destroy()
 
@@ -441,5 +584,8 @@ def open_preview_window(root, video_path: str, funscript: str | None = None):
     win.bind("<space>", lambda _e: on_toggle())
     win.protocol("WM_DELETE_WINDOW", on_close)
 
+    # map the window before the first tick so the video canvas reports its
+    # real size instead of the 1x1 pre-map geometry (ADVICE r4)
+    win.update_idletasks()
     tick()
     return win

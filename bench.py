@@ -209,7 +209,7 @@ def main() -> None:
     from funscript_flow_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    from funscript_flow_tpu.models.pipeline import PipelineConfig, flow_chunk_program
+    from funscript_flow_tpu.models.pipeline import PipelineConfig
     from funscript_flow_tpu.runner import process_video, run_headless
     from funscript_flow_tpu.utils.params import Params
 
@@ -248,18 +248,18 @@ def main() -> None:
 
     # Warm up compilation for the production shapes the scenarios actually
     # dispatch (the production path ships grayscale; warming RGB would
-    # compile a program the run never uses). With the first-window ramp the
-    # 20 s clip partitions as 60+240+240+59 -> buckets {240, 60}; the VR
-    # clips (179 pairs = ramp 60 + tail 119) add the 120 bucket.
-    import jax.numpy as jnp
+    # compile a program the run never uses). The 20 s clip partitions as
+    # 60+240+240+59 -> buckets {240, 60}; the VR clips (179 pairs) use
+    # {60}; the folder's 8 s clip (239 pairs) adds the 120 bucket. Going
+    # through runner.prewarm_shapes registers the shapes so the timed
+    # runs' per-clip prewarm threads see them as warm and spawn nothing.
+    from funscript_flow_tpu.ops.reductions import CENTER_SMOOTH_RADIUS
+    from funscript_flow_tpu.runner import prewarm_shapes
 
     cfg = PipelineConfig(pair_batch=params.pair_batch)
-    for bucket in (params.pair_batch, params.pair_batch // 2,
-                   params.pair_batch // 4):
-        warm_frames = np.zeros((bucket + 13, 256, 256), np.uint8)
-        flow_chunk_program(
-            jnp.asarray(warm_frames), jnp.int32(4), cfg
-        )["dots"].block_until_ready()
+    prewarm_shapes(cfg, CENTER_SMOOTH_RADIUS,
+                   (params.pair_batch, params.pair_batch // 2,
+                    params.pair_batch // 4, params.pair_batch // 8))
 
     # --- scenario 1 (headline): single 20 s 1080p30 h264 clip, best of 7,
     # each e2e rep paired with a same-window raw-decode calibration rep

@@ -255,12 +255,15 @@ class StreamingFlowAnalyzer:
         return window
 
     def _tail_bucket(self, n_pairs: int) -> int:
-        """Smallest power-of-two fraction of pair_batch (>= 32) covering the
+        """Smallest power-of-two fraction of pair_batch (>= 16) covering the
         tail — a short last window then doesn't pay a full batch of padded
-        compute. Results are bucket-size invariant (the windows carry the
+        compute, and the final round trip serialized past EOF shrinks with
+        it (floor lowered 32 -> 16 in round 5: the tail is latency-bound
+        over the relay, and the extra shape's compile hides behind the
+        prewarm). Results are bucket-size invariant (the windows carry the
         same frames and valid count; tested batch-size invariance)."""
         b = self.cfg.pair_batch
-        while b // 2 >= max(n_pairs, 32):
+        while b // 2 >= max(n_pairs, 16):
             b //= 2
         return b
 
@@ -345,17 +348,42 @@ class StreamingFlowAnalyzer:
                 arr.copy_to_host_async()
         return res
 
+    # mid-run drains materialize only once this many windows are in
+    # flight — a bound on result-buffer lifetime (each window's results
+    # are a few KB on device; 64 windows ≈ 8.5 min of 30 fps video), not
+    # a throughput knob
+    MAX_PENDING = 64
+
     def _drain(self, keep: int) -> list:
-        out = []
-        while len(self._pending) > keep:
+        """Materialize pending windows down to ``keep`` (0 = everything:
+        flush/cancel). Mid-run calls (keep > 0) DEFER instead: device_get
+        on a mid-run window blocks the 1-core host ~0.1-0.4 s per clip on
+        relay round trips even though the D2H copy was started at dispatch
+        (paired A/B, NOTES_ROUND5), so results stay on device until
+        flush — by which time everything has landed and the per-window
+        get costs ~20 ms total — except on very long videos where the
+        backlog cap kicks in. Polling readiness is not an option: on the
+        proxy backend jax.Array.is_ready() returns True for still-in-
+        flight results (measured), so there is nothing truthful to gate
+        on."""
+        limit = keep if keep == 0 else max(keep, self.MAX_PENDING)
+        batch = []
+        while len(self._pending) > limit:
             res, segs = self._pending.pop(0)
             if hasattr(res, "result"):
                 res = res.result()  # uploader future; re-raises its errors
-            # one device_get for the whole dict: per-key np.asarray costs a
-            # separate D2H round trip each (~140 ms/batch over the relay vs
-            # ~40 ms batched — measured); the copy itself has been in
-            # flight since dispatch (_start_fetch)
-            np_res = jax.device_get({k: res[k] for k in self.KEYS})
+            batch.append(({k: res[k] for k in self.KEYS}, segs))
+        if not batch:
+            return []
+        # ONE device_get for every window being materialized: each call
+        # costs a relay round trip regardless of size (per-key np.asarray
+        # measured ~140 ms/window vs ~40 ms for a batched dict; batching
+        # the flush's 3-4 windows into a single call removes the remaining
+        # per-window trips from the serialized tail), and the copies have
+        # been in flight since dispatch (_start_fetch)
+        np_batch = jax.device_get([r for r, _ in batch])
+        out = []
+        for np_res, segs in zip(np_batch, (s for _, s in batch)):
             for d, lo, hi in segs:
                 if hi <= lo:
                     continue
@@ -371,7 +399,7 @@ class StreamingFlowAnalyzer:
         ramp-down never introduces a compile shape the prewarm
         (runner._planned_tail_buckets) doesn't already cover."""
         b = self.cfg.pair_batch
-        while b // 2 >= 32:
+        while b // 2 >= 16:
             b //= 2
             yield b
 
@@ -440,10 +468,10 @@ class StreamingFlowAnalyzer:
 
     def drain_pending(self) -> list:
         """Materialize every dispatched-but-undrained window WITHOUT
-        dispatching new work. Cancel path: the device has already paid for
-        these pairs, so the checkpoint sidecar should keep them
-        (runner._ckpt_save); ``push`` alone always leaves one window in
-        flight (keep=1 pipelining)."""
+        dispatching new work. Checkpoint/cancel path: the device has
+        already paid for these pairs, so the sidecar should keep them
+        (runner._ckpt_save); ``push`` alone defers materialization (see
+        ``_drain``), so most results surface here or at flush."""
         return self._drain(keep=0)
 
     def flush(self) -> list:

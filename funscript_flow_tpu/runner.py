@@ -265,13 +265,13 @@ def _planned_tail_buckets(pair_batch: int, radius: int, n_pairs: int) -> list:
     to hide)."""
     def tail_bucket(n: int) -> int:
         b = pair_batch
-        while b // 2 >= max(n, 32):
+        while b // 2 >= max(n, 16):
             b //= 2
         return b
 
     chain = []  # == StreamingFlowAnalyzer._tail_chain
     c = pair_batch
-    while c // 2 >= 32:
+    while c // 2 >= 16:
         c //= 2
         chain.append(c)
 
@@ -300,33 +300,58 @@ def _planned_tail_buckets(pair_batch: int, radius: int, n_pairs: int) -> list:
     return buckets
 
 
+# executable shapes already warmed in THIS process: (cfg, bucket, device).
+# A fresh process pays ~30 s per shape even on a persistent-cache hit (the
+# device plugin reloads server-side), so the prewarm is load-bearing once —
+# but re-executing an already-warm program costs a device round trip + host
+# CPU in the middle of the run (measured ~0.2-0.5 s/clip on the 1-core
+# bench box, and folder mode paid it once PER CLIP — NOTES_ROUND5).
+_PREWARMED: set = set()
+
+
+def prewarm_shapes(cfg: PipelineConfig, radius: int, buckets, device=None):
+    """Compile/load the flow program for each tail bucket, once per process.
+
+    Blocking; used by the async prewarm thread and by bench.py's explicit
+    warmup (which registers the shapes so the timed runs' prewarm threads
+    skip them)."""
+    import jax
+    import jax.numpy as jnp
+
+    for b in buckets:
+        key = (cfg, int(b), device)
+        if key in _PREWARMED:
+            continue
+        frames = np.zeros((b + 2 * radius + 1, 256, 256), np.uint8)
+        if device is not None:
+            fr = jax.device_put(frames, device)
+            nv = jax.device_put(np.int32(1), device)
+        else:
+            fr = jnp.asarray(frames)
+            nv = jnp.int32(1)
+        flow_chunk_program(fr, nv, cfg)["dots"].block_until_ready()
+        _PREWARMED.add(key)
+
+
 def _prewarm_tail_async(cfg: PipelineConfig, radius: int, n_pairs: int,
                         device=None):
-    """Start loading/compiling the tail-window executable in the background.
+    """Start loading/compiling the tail-window executables in the background.
 
-    A fresh process pays ~30 s per executable shape even on a persistent-
-    cache hit (the device plugin reloads server-side). The tail window is
-    otherwise first touched at flush() — AFTER all decode and compute — so
-    warming it concurrently with the main loop hides that cost entirely.
-    """
-    buckets = _planned_tail_buckets(cfg.pair_batch, radius, n_pairs)
+    The tail windows are otherwise first touched near EOF — after most
+    decode and compute — so warming them concurrently with the main loop
+    hides the fresh-process load cost entirely. Shapes already warmed in
+    this process are skipped (no thread at all when everything is warm:
+    repeat runs and folder clips 2..N must not pay a mid-run device round
+    trip per clip for nothing)."""
+    buckets = [b for b in _planned_tail_buckets(cfg.pair_batch, radius,
+                                                n_pairs)
+               if (cfg, int(b), device) not in _PREWARMED]
     if not buckets:
         return None
 
     def work():
         try:
-            import jax
-            import jax.numpy as jnp
-
-            for b in buckets:
-                frames = np.zeros((b + 2 * radius + 1, 256, 256), np.uint8)
-                if device is not None:
-                    fr = jax.device_put(frames, device)
-                    nv = jax.device_put(np.int32(1), device)
-                else:
-                    fr = jnp.asarray(frames)
-                    nv = jnp.int32(1)
-                flow_chunk_program(fr, nv, cfg)["dots"].block_until_ready()
+            prewarm_shapes(cfg, radius, buckets, device)
         except Exception:
             pass  # warmup is best-effort; the real dispatch will surface errors
 
@@ -512,9 +537,13 @@ def process_video(video_path: str, params: Params, log_func,
                         results.extend(analyzer.flush())
                         break
                 if ckpt_path is not None:
+                    # cadence keyed on DISPATCHED pairs (the analyzer defers
+                    # materialization mid-run); a due checkpoint drains the
+                    # in-flight windows so the sidecar actually carries them
                     done = len(prefix_dots) + max(
-                        0, sum(len(r["dots"]) for r in results) - discard)
+                        0, analyzer.pairs_emitted - discard)
                     if done - last_ckpt_pairs >= ckpt_mod.CHECKPOINT_EVERY_PAIRS:
+                        results.extend(analyzer.drain_pending())
                         _ckpt_save()
                 if progress_callback is not None:
                     progress_callback(min(100, int(

@@ -341,18 +341,25 @@ def test_audio_sidecar_spawns_and_terminates(tmp_path):
     stub.write_text(f"#!/bin/sh\necho \"$@\" >> {log}\nexec sleep 30\n")
     stub.chmod(0o755)
 
+    def wait_lines(n):
+        # the stub must get to log its argv before the next stop() SIGTERMs
+        # it, or the assertion races the shell's startup
+        for _ in range(100):
+            if log.exists() and len(log.read_text().strip().splitlines()) >= n:
+                return
+            _time.sleep(0.05)
+        raise AssertionError(f"stub never logged line {n}")
+
     a = AudioSidecar(str(tmp_path / "x.mp4"), player=str(stub))
     assert a.available
     a.start(2500.0)
     p1 = a.proc
     assert p1 is not None and p1.poll() is None
+    wait_lines(1)
     a.start(7000.0)  # seek while playing: restart at the new position
     p2 = a.proc
     assert p2 is not p1
-    for _ in range(50):  # let the stub log its argv before termination
-        if log.exists() and len(log.read_text().strip().splitlines()) == 2:
-            break
-        _time.sleep(0.05)
+    wait_lines(2)
     a.stop()
     for _ in range(50):
         if p1.poll() is not None and p2.poll() is not None:

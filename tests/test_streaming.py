@@ -38,21 +38,23 @@ def test_streaming_equals_batch(push_size):
 
 def test_streaming_ramp_window_equals_batch():
     """First-window ramp (pair_batch > smallest bucket): pushing in chunks
-    small enough that the ramp dispatch fires (a 40-pair first window for
-    pair_batch=80) must stay bitwise identical to the batch analyzer —
-    the ramp is a dispatch-schedule change only."""
+    small enough that the ramp dispatch fires (a 20-pair first window for
+    pair_batch=80; bucket floor 16) must stay bitwise identical to the
+    batch analyzer — the ramp is a dispatch-schedule change only."""
     frames = np.stack(ref.make_synthetic_frames(120, h=48, w=48, period=9,
                                                 seed=7))
     cfg = PipelineConfig(pair_batch=80)
     want = FlowAnalyzer(cfg).analyze_video_pairs(frames)
 
     st = StreamingFlowAnalyzer(cfg)
-    assert st.ramp_pairs == 40
+    assert st.ramp_pairs == 20
     results = []
-    # 47-frame first push: 46 pairs >= ramp(40)+radius(6), < 86 -> ramp fires
+    # 47-frame first push: 46 pairs >= ramp(20)+radius(6), < 86 -> ramp fires
     for i in range(0, len(frames), 47):
         results.extend(st.push(list(frames[i : i + 47])))
-    assert st._s in (40, 120)  # the ramp window actually dispatched first
+    # the ramp window actually dispatched first (s=20 after push 1; the
+    # full-window loop then advances in pair_batch strides)
+    assert st._s in (20, 100, 120)
     results.extend(st.flush())
     got = {k: np.concatenate([r[k] for r in results]) for k in st.KEYS}
     assert st.pairs_emitted == 119

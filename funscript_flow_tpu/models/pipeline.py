@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.farneback import FarnebackConfig, farneback_flow_planes
+from ..utils.devsync import DEVICE_LOCK
 from ..ops.reductions import (
     CENTER_SMOOTH_RADIUS,
     max_divergence_center,
@@ -172,8 +173,10 @@ class FlowAnalyzer:
                 window = np.concatenate(
                     [window, np.repeat(window[-1:], pad, axis=0)], axis=0
                 )
-            res = flow_chunk_program(jnp.asarray(window), jnp.int32(n_valid), self.cfg)
-            res = jax.device_get({k: res[k] for k in out})
+            with DEVICE_LOCK:
+                res = flow_chunk_program(
+                    jnp.asarray(window), jnp.int32(n_valid), self.cfg)
+                res = jax.device_get({k: res[k] for k in out})
             lo, hi = s - a, e - a
             for k in out:
                 out[k].append(res[k][lo:hi])
@@ -303,10 +306,12 @@ class StreamingFlowAnalyzer:
                 windows.append(self._frames_window(ad, bd))
                 n_valid.append(bd - ad)
                 segs.append((d, sd - ad, ed - ad))
-            res = self._start_fetch(analyze_windows_sharded(
-                np.stack(windows), np.asarray(n_valid, np.int32),
-                self.cfg, self.mesh,
-            ))
+            stacked = np.stack(windows)
+            with DEVICE_LOCK:
+                res = self._start_fetch(analyze_windows_sharded(
+                    stacked, np.asarray(n_valid, np.int32),
+                    self.cfg, self.mesh,
+                ))
             self._pending.append((res, segs))
         self._s = e
         drop = max(0, (self._s - r) - self._base)
@@ -323,13 +328,16 @@ class StreamingFlowAnalyzer:
         if window.shape[0] < need:
             pad = np.repeat(window[-1:], need - window.shape[0], axis=0)
             window = np.concatenate([window, pad], axis=0)
-        if self.device is not None:
-            win_dev = jax.device_put(window, self.device)
-            nv = jax.device_put(np.int32(n_valid), self.device)
-        else:
-            win_dev = jnp.asarray(window)
-            nv = jnp.int32(n_valid)
-        return self._start_fetch(flow_chunk_program(win_dev, nv, self.cfg))
+        # host assembly above stays lock-free; only the relay interactions
+        # (upload, enqueue, D2H start) serialize — see utils.devsync
+        with DEVICE_LOCK:
+            if self.device is not None:
+                win_dev = jax.device_put(window, self.device)
+                nv = jax.device_put(np.int32(n_valid), self.device)
+            else:
+                win_dev = jnp.asarray(window)
+                nv = jnp.int32(n_valid)
+            return self._start_fetch(flow_chunk_program(win_dev, nv, self.cfg))
 
     def _start_fetch(self, res):
         """Start the D2H copies for one window's results at DISPATCH time.
@@ -371,6 +379,8 @@ class StreamingFlowAnalyzer:
         while len(self._pending) > limit:
             res, segs = self._pending.pop(0)
             if hasattr(res, "result"):
+                # future-wait OUTSIDE the device lock: the uploader thread
+                # completing this future needs DEVICE_LOCK itself
                 res = res.result()  # uploader future; re-raises its errors
             batch.append(({k: res[k] for k in self.KEYS}, segs))
         if not batch:
@@ -381,7 +391,8 @@ class StreamingFlowAnalyzer:
         # the flush's 3-4 windows into a single call removes the remaining
         # per-window trips from the serialized tail), and the copies have
         # been in flight since dispatch (_start_fetch)
-        np_batch = jax.device_get([r for r, _ in batch])
+        with DEVICE_LOCK:
+            np_batch = jax.device_get([r for r, _ in batch])
         out = []
         for np_res, segs in zip(np_batch, (s for _, s in batch)):
             for d, lo, hi in segs:

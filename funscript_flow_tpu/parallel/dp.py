@@ -80,10 +80,13 @@ def analyze_multichip(frames: np.ndarray, cfg: PipelineConfig, mesh) -> dict:
     all N-1 pairs, independent of the device count (tested on the virtual
     CPU mesh).
     """
+    from ..utils.devsync import DEVICE_LOCK
+
     D = mesh.devices.size
     windows, n_valid, lo, hi = shard_video_windows(frames, D, cfg.pair_batch)
-    res = analyze_windows_sharded(windows, n_valid, cfg, mesh)
-    res = jax.device_get(res)
+    with DEVICE_LOCK:
+        res = analyze_windows_sharded(windows, n_valid, cfg, mesh)
+        res = jax.device_get(res)
     out = {}
     for k, v in res.items():
         out[k] = np.concatenate([v[d, lo[d] : hi[d]] for d in range(D)], axis=0)

@@ -94,27 +94,33 @@ def compute_actions(dots, cuts, time_stamps, fps, effective_fps, params: Params,
 
     if backend == "sharded":
         from .parallel.signal_sp import signal_chain_sharded
+        from .utils.devsync import DEVICE_LOCK
 
         log_func(f"Signal chain: time-axis sharded over "
                  f"{int(mesh.devices.size)} devices ({n} samples).")
-        norm, mask = signal_chain_sharded(
-            np.asarray(dots, np.float32), np.asarray(cuts, bool), mesh,
-            detrend_win, norm_win)
-        norm = np.asarray(norm, dtype=np.float64)
-        keep = np.asarray(mask)
+        with DEVICE_LOCK:
+            norm, mask = signal_chain_sharded(
+                np.asarray(dots, np.float32), np.asarray(cuts, bool), mesh,
+                detrend_win, norm_win)
+            norm = np.asarray(norm, dtype=np.float64)
+            keep = np.asarray(mask)
     elif backend == "device":
         import jax.numpy as jnp
+
+        from .utils.devsync import DEVICE_LOCK
 
         P = _bucket_length(n)
         dpad = np.zeros(P, np.float32)
         dpad[:n] = dots
         cpad = np.zeros(P, bool)
         cpad[:n] = cuts
-        norm, mask = signal_chain_device(
-            jnp.asarray(dpad), jnp.asarray(cpad), jnp.int32(n), detrend_win, norm_win
-        )
-        norm = np.asarray(norm, dtype=np.float64)[:n]
-        keep = np.asarray(mask)[:n]
+        with DEVICE_LOCK:
+            norm, mask = signal_chain_device(
+                jnp.asarray(dpad), jnp.asarray(cpad), jnp.int32(n),
+                detrend_win, norm_win
+            )
+            norm = np.asarray(norm, dtype=np.float64)[:n]
+            keep = np.asarray(mask)[:n]
     else:
         return signal_host.signal_chain(
             dots, cuts, time_stamps, fps, detrend_win, norm_win,
@@ -314,23 +320,34 @@ def prewarm_shapes(cfg: PipelineConfig, radius: int, buckets, device=None):
 
     Blocking; used by the async prewarm thread and by bench.py's explicit
     warmup (which registers the shapes so the timed runs' prewarm threads
-    skip them)."""
+    skip them).
+
+    Each shape's check + execute + registry-add runs atomically under
+    ``DEVICE_LOCK`` — two clips' prewarm threads previously raced the
+    check-then-act and compiled the same shape twice, and their concurrent
+    executes wedged the relay client outright alongside worker
+    ``device_get``s (deadlock repro, NOTES_ROUND5). Per-bucket locking (not
+    around the whole loop) lets worker dispatches interleave between shape
+    loads."""
     import jax
     import jax.numpy as jnp
 
+    from .utils.devsync import DEVICE_LOCK
+
     for b in buckets:
         key = (cfg, int(b), device)
-        if key in _PREWARMED:
-            continue
-        frames = np.zeros((b + 2 * radius + 1, 256, 256), np.uint8)
-        if device is not None:
-            fr = jax.device_put(frames, device)
-            nv = jax.device_put(np.int32(1), device)
-        else:
-            fr = jnp.asarray(frames)
-            nv = jnp.int32(1)
-        flow_chunk_program(fr, nv, cfg)["dots"].block_until_ready()
-        _PREWARMED.add(key)
+        with DEVICE_LOCK:
+            if key in _PREWARMED:
+                continue
+            frames = np.zeros((b + 2 * radius + 1, 256, 256), np.uint8)
+            if device is not None:
+                fr = jax.device_put(frames, device)
+                nv = jax.device_put(np.int32(1), device)
+            else:
+                fr = jnp.asarray(frames)
+                nv = jnp.int32(1)
+            flow_chunk_program(fr, nv, cfg)["dots"].block_until_ready()
+            _PREWARMED.add(key)
 
 
 def _prewarm_tail_async(cfg: PipelineConfig, radius: int, n_pairs: int,

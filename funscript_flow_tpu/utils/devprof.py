@@ -32,13 +32,19 @@ def device_profile(fn, *args, runs: int = 3, top: int = 0, label: str = ""):
     """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # deferred
 
+    from .devsync import DEVICE_LOCK
+
     d = tempfile.mkdtemp(prefix="devprof_")
-    jax.device_get(fn(*args))  # warm/compile outside the trace
     try:
-        with jax.profiler.trace(d):
-            for _ in range(runs):
-                r = fn(*args)
-            jax.device_get(r)
+        # the whole trace holds DEVICE_LOCK: a concurrent prewarm/dispatch
+        # would both pollute the measurement and risk the relay-client
+        # concurrency wedge (utils.devsync)
+        with DEVICE_LOCK:
+            jax.device_get(fn(*args))  # warm/compile outside the trace
+            with jax.profiler.trace(d):
+                for _ in range(runs):
+                    r = fn(*args)
+                jax.device_get(r)
         files = glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)
         xs = xplane_pb2.XSpace()
         with open(files[-1], "rb") as f:

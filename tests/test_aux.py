@@ -329,3 +329,50 @@ def test_checkpoint_fingerprint_slf_override(tmp_path, monkeypatch):
     monkeypatch.setenv("FF_PUMP_SLF", "")  # empty = auto (falsy)
     assert ck.fingerprint(str(video), meta, Params(),
                           engine="fast") == fast_auto
+
+
+def test_prewarm_registry_thread_safe(monkeypatch):
+    """Two clips' prewarm threads must not race _PREWARMED's check-then-act
+    into compiling the same shape twice: each shape's check + execute + add
+    is atomic under DEVICE_LOCK (relay-wedge deadlock fix, NOTES_ROUND5).
+    Eight threads warming the same bucket list must execute each shape
+    exactly once."""
+    import threading
+
+    from funscript_flow_tpu import runner
+
+    calls = []
+    lock_sanity = threading.Lock()
+
+    class _Ready:
+        def block_until_ready(self):
+            return self
+
+    def fake_program(frames, n_pairs, cfg):
+        # no two executes may overlap (the relay client wedges on
+        # concurrent blocking device calls) — assert mutual exclusion
+        assert lock_sanity.acquire(blocking=False), "concurrent execute"
+        try:
+            calls.append(frames.shape[0])
+        finally:
+            lock_sanity.release()
+        return {"dots": _Ready()}
+
+    monkeypatch.setattr(runner, "flow_chunk_program", fake_program)
+    monkeypatch.setattr(runner, "_PREWARMED", set())
+
+    cfg = runner.PipelineConfig(pair_batch=64)
+    buckets = [16, 32]
+    threads = [
+        threading.Thread(target=runner.prewarm_shapes,
+                         args=(cfg, 6, list(buckets)))
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads)
+    # each bucket executed exactly once across all 8 threads
+    assert sorted(calls) == sorted(b + 2 * 6 + 1 for b in buckets)
+    assert len(runner._PREWARMED) == 2

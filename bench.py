@@ -24,10 +24,12 @@ Extra fields in the same line:
 * ``vr_x_realtime`` — a 6 s 4K (3840x1920) side-by-side VR clip with
   ``vr_mode=True`` (512-quadrant crop from >=4K decode — the expensive
   real-world case, FunscriptFlow.pyw:1076-1079), best of 5. The fixture
-  carries the oscillating-zoom SIGNAL (quarter-res render, upscaled), so
-  VR decode speed and VR funscript fast-vs-exact parity are measured on
-  the same content (round 5; the old cheap-pan fixture's signal was below
-  the fast engine's luma residual).
+  carries a LOCALIZED radial-pulse signal centered in the analyzed
+  region (see make_bench_video), so VR decode speed and VR funscript
+  fast-vs-exact parity are measured on the same content (round 5;
+  measured parity on this fixture: pos |delta| p95 1, max 2 — the old
+  cheap-pan fixture's signal was below the fast engine's luma dither and
+  a uniform zoom left the divergence-argmax center degenerate).
 * ``vr60_x_realtime`` — the same scenario at **60 fps** (the dominant
   real-world VR frame rate): sampling steps to every 2nd frame, so the
   fast engine's grid-aware per-packet ``AVDISCARD_NONREF`` skips off-grid
@@ -96,18 +98,51 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
 
     n = int(seconds * fps)
     rng = np.random.default_rng(seed)
-    # >=4K frames: the 2x-supersampled warpAffine costs seconds/frame at
-    # native res — render the SAME oscillating-zoom signal at quarter res
-    # and upscale (VERDICT r4 #5: the old cheap-pan texture's inter-frame
-    # signal was ~2.3 gray levels, BELOW the fast engine's ~1.5-level luma
-    # residual, so funscript-level fast-vs-exact deltas on the VR fixture
-    # measured normalization-amplified noise; the zoom signal is >=4 gray
-    # levels, so VR decode speed and VR funscript parity are now measured
-    # on the same clip)
+    # >=4K (VR) fixtures render a LOCALIZED radial pulse at quarter res and
+    # upscale (full-res 2x-supersampled warps cost seconds/frame at 4K).
+    # Two measured pathologies drove this design (VERDICT r4 #5, round-5
+    # sweeps in NOTES_ROUND5):
+    # * the old cheap-pan texture's analysis-plane signal (0.6-2.3 gray
+    #   levels after upscale + VR quadrant crop + 256 resize) sat BELOW the
+    #   fast engine's ~1.5-level luma dither, so funscript-level fast-vs-
+    #   exact deltas measured normalization-amplified noise;
+    # * a UNIFORM zoom has spatially flat divergence, so the pipeline's
+    #   divergence-argmax center is degenerate — decode dither flipped the
+    #   chosen center up to 80 px between engines (center |delta| p95 =
+    #   59 px), and dots computed about different centers diverged ~27% of
+    #   signal no matter how strong the texture (pos p95 stuck at 11-15).
+    # The pulse (Gaussian-envelope radial expansion centered in the
+    # analyzed bottom-half-of-left-eye region) peaks the divergence at a
+    # definite point: both engines lock the same center and fast-vs-exact
+    # pos |delta| measured p95 1, max 2. The texture is contrast-stretched
+    # sharp-ish noise (sigma 2 at quarter res ~= sigma 8 at 4K — still soft
+    # vs real footage): 8.4 analysis-plane gray levels of inter-frame
+    # signal vs the 1.5-level dither. The 1080p headline fixtures keep the
+    # original affine-zoom synthesis bit-identical for cross-round
+    # comparability.
     cheap = h * w > 4_000_000
     rh, rw = (h // 4, w // 4) if cheap else (h, w)
-    tex = cv2.GaussianBlur(
-        (rng.random((rh * 2, rw * 2)) * 255).astype(np.float32), (0, 0), 5)
+
+    def make_tex(shape):
+        t = cv2.GaussianBlur(
+            (rng.random(shape) * 255).astype(np.float32), (0, 0),
+            2 if cheap else 5)
+        if cheap:
+            lo, hi = float(t.min()), float(t.max())
+            t = (t - lo) * (255.0 / max(hi - lo, 1e-6))
+        return t
+
+    if cheap:
+        # radial-pulse displacement field on the render-res plane; the
+        # envelope center sits at the middle of the VR-analyzed region
+        # (bottom half of the left eye: x in [0, w/2], y in [h/2, h])
+        cx, cy, R = rw * 0.25, rh * 0.75, 80.0
+        yy, xx = np.mgrid[0:rh, 0:rw].astype(np.float32)
+        dx0, dy0 = xx - cx, yy - cy
+        env = np.exp(-(dx0 * dx0 + dy0 * dy0) / (2 * R * R)).astype(np.float32)
+        tex = make_tex((rh, rw))
+    else:
+        tex = make_tex((rh * 2, rw * 2))
 
     rt = _native_encoder() if codec == "h264" else None
     if rt is not None:
@@ -123,16 +158,21 @@ def make_bench_video(path: str, seconds: float, h: int = 1080, w: int = 1920,
 
     for i in range(n):
         if i == n // 2:
-            tex = cv2.GaussianBlur(
-                (rng.random(tex.shape) * 255).astype(np.float32), (0, 0), 5
-            )
-        s = float(np.exp(0.05 * np.sin(2 * np.pi * i / 45.0)))
-        M = cv2.getRotationMatrix2D((rw, rh), 0, s)
-        M[0, 2] += 3.0 * np.sin(2 * np.pi * i / 200.0)
-        img = cv2.warpAffine(tex, M, (rw * 2, rh * 2))[
-            rh // 2 : rh // 2 + rh, rw // 2 : rw // 2 + rw]
+            tex = make_tex(tex.shape)
         if cheap:
+            s = 0.4 * np.sin(2 * np.pi * i / 45.0)
+            wob = 3.0 * np.sin(2 * np.pi * i / 200.0)
+            mx = (xx - s * dx0 * env - wob).astype(np.float32)
+            my = (yy - s * dy0 * env).astype(np.float32)
+            img = cv2.remap(tex, mx, my, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_REFLECT)
             img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        else:
+            s = float(np.exp(0.05 * np.sin(2 * np.pi * i / 45.0)))
+            M = cv2.getRotationMatrix2D((rw, rh), 0, s)
+            M[0, 2] += 3.0 * np.sin(2 * np.pi * i / 200.0)
+            img = cv2.warpAffine(tex, M, (rw * 2, rh * 2))[
+                rh // 2 : rh // 2 + rh, rw // 2 : rw // 2 + rw]
         bgr = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2BGR)
         if enc is not None:
             enc.write(bgr)
@@ -232,14 +272,15 @@ def main() -> None:
     mp4v_clip = os.path.join(BENCH_DIR, "clip_main_mp4v.mp4")
     if codec == "h264" and not os.path.exists(mp4v_clip):
         make_bench_video(mp4v_clip, DURATION_S, codec="mp4v")
-    # "zoom" suffix: round-5 signal-representative VR fixtures (oscillating
-    # zoom upscaled from quarter res) — must not reuse a stale cheap-pan
-    # clip cached under the old name
-    vr_clip = os.path.join(BENCH_DIR, f"clip_vr4k_zoom_{codec}.mp4")
+    # "pulse" suffix: round-5 signal-representative VR fixtures (localized
+    # radial pulse, contrast-stretched texture — see make_bench_video) —
+    # must not reuse a stale cheap-pan or uniform-zoom clip cached under an
+    # old name
+    vr_clip = os.path.join(BENCH_DIR, f"clip_vr4k_pulse_{codec}.mp4")
     vr_secs = 6.0
     if codec == "h264" and not os.path.exists(vr_clip):
         make_bench_video(vr_clip, vr_secs, h=1920, w=3840, seed=4, codec=codec)
-    vr60_clip = os.path.join(BENCH_DIR, f"clip_vr4k60_zoom_{codec}.mp4")
+    vr60_clip = os.path.join(BENCH_DIR, f"clip_vr4k60_pulse_{codec}.mp4")
     if codec == "h264" and not os.path.exists(vr60_clip):
         make_bench_video(vr60_clip, vr_secs, h=1920, w=3840, seed=5,
                          codec=codec, fps=60)

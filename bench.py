@@ -3,7 +3,7 @@
 Prints ONE JSON line. Headline metric (round 3+): a 20 s synthetic
 **1080p30 long-GOP h264** clip (the dominant real-library codec and the
 reference's decode hot spot, FunscriptFlow.pyw:177-189) processed
-end-to-end (decode + flow + signal + emit), best of 5. Clips are written
+end-to-end (decode + flow + signal + emit), best of 6. Clips are written
 through the native encoder (runtime/encoder.cpp: libx264, GOP 250,
 3 B-frames); when that encoder is unavailable the whole bench falls back
 to mp4v and says so in ``codec``.
@@ -15,9 +15,12 @@ Extra fields in the same line:
   through ``run_headless`` with N clips in flight on the one chip
   (clip_workers auto), best of 6; each rep paired with a folder decode
   calibration (``folder_decode_only_s`` /
-  ``folder_overlap_efficiency[_med]``). ``folder_seq_x_realtime`` — the
-  same folder with clip_workers=1, >1-core boxes only (the clip-worker
-  scaling leg).
+  ``folder_overlap_efficiency[_med]``). Folder reps are INTERLEAVED with
+  the headline's single-clip reps (round 5) so the folder-vs-single
+  comparison samples the same pool-weather windows instead of being
+  decided by drift between two separate measurement blocks.
+  ``folder_seq_x_realtime`` — the same folder with clip_workers=1,
+  >1-core boxes only (the clip-worker scaling leg).
 * ``mp4v_x_realtime`` — the same 20 s clip re-encoded as mp4v, best of 4:
   comparable to the round-1/2 headline numbers (mpegvideo codecs keep the
   libav lowres fast-decode path that h264 doesn't have).
@@ -210,19 +213,39 @@ def _timed_runs(process_video, clip, params, n_runs, duration, vr_mode=False,
     calibration rep of the same clip (same pool window), so the per-rep
     ratio ``cal_i / wall_i`` measures pipeline overlap quality independent
     of shared-pool weather. Returns a dict or None on error."""
-    timer_re = re.compile(r"decode_wait=([0-9.]+)s device_compute=([0-9.]+)s")
     walls, splits, cals = [], [], []
     for _ in range(n_runs):
-        lines = []
-        t0 = time.time()
-        err = process_video(clip, params, log_func=lines.append)
-        wall = time.time() - t0
-        if err:
+        rep = _single_rep(process_video, clip, params, vr_mode, paired)
+        if rep is None:
             return None
-        m = next((timer_re.search(ln) for ln in lines if timer_re.search(ln)), None)
-        walls.append(wall)
-        splits.append((float(m.group(1)), float(m.group(2))) if m else (0.0, 0.0))
-        cals.append(_decode_only(clip, vr_mode) if paired else float("inf"))
+        walls.append(rep[0])
+        splits.append(rep[1])
+        cals.append(rep[2])
+    return _stats(walls, splits, cals, duration)
+
+
+_TIMER_RE = re.compile(r"decode_wait=([0-9.]+)s device_compute=([0-9.]+)s")
+
+
+def _single_rep(process_video, clip, params, vr_mode=False, paired=True):
+    """One e2e run of ``clip`` IMMEDIATELY followed by a raw-decode
+    calibration rep in the same pool window. Returns
+    ``(wall, (decode_wait, device_compute), cal)`` or None on error."""
+    lines = []
+    t0 = time.time()
+    err = process_video(clip, params, log_func=lines.append)
+    wall = time.time() - t0
+    if err:
+        return None
+    m = next((_TIMER_RE.search(ln) for ln in lines if _TIMER_RE.search(ln)),
+             None)
+    split = (float(m.group(1)), float(m.group(2))) if m else (0.0, 0.0)
+    cal = _decode_only(clip, vr_mode) if paired else float("inf")
+    return wall, split, cal
+
+
+def _stats(walls, splits, cals, duration):
+    """Best-of-N + paired-efficiency stats over collected reps."""
     best = int(np.argmin(walls))
     ratios = [min(c / w, 1.0) for c, w in zip(cals, walls) if np.isfinite(c)]
     finite = [c for c in cals if np.isfinite(c)]
@@ -302,15 +325,47 @@ def main() -> None:
                    (params.pair_batch, params.pair_batch // 2,
                     params.pair_batch // 4, params.pair_batch // 8))
 
-    # --- scenario 1 (headline): single 20 s 1080p30 h264 clip, best of 7,
-    # each e2e rep paired with a same-window raw-decode calibration rep
-    # (shared-pool noise: back-to-back identical runs vary 10-30%, with
-    # occasional multi-x spikes; min-of-N converges for the absolute number
-    # and the per-rep pairing makes overlap_efficiency noise-robust) ---
-    r = _timed_runs(process_video, main_clip, params, 7, DURATION_S)
-    if r is None:
+    # --- scenarios 1+2 INTERLEAVED (round 5): the headline single-clip
+    # reps and the folder reps alternate, so both scenarios draw from the
+    # same pool-weather windows and ``folder_x_realtime`` vs ``value`` is a
+    # fair comparison (r4: the two scenarios ran minutes apart and pool
+    # drift, not the pipeline, decided which looked faster). Each e2e rep
+    # of either kind is still IMMEDIATELY paired with its own raw-decode
+    # calibration rep (shared-pool noise: back-to-back identical runs vary
+    # 10-30%, with occasional multi-x spikes; min-of-N converges for the
+    # absolute number and the per-rep pairing makes the efficiency ratios
+    # noise-robust). Headline: 20 s 1080p30 h264 single clip. Folder: the
+    # reference's actual workload shape — 3 mixed clips, clip_workers
+    # auto. ---
+    total_secs = sum(s for _, s, _, _, _ in folder_specs)
+    folder_clips = [os.path.join(folder, name) for name, *_ in folder_specs]
+
+    def folder_rep(run_params):
+        """One folder e2e run + same-window sequential folder decode cal."""
+        t0 = time.time()
+        err = run_headless(folder, run_params,
+                           log_path=os.path.join(BENCH_DIR, "run.log"))
+        wall = time.time() - t0
+        if err:
+            return None
+        return wall, sum(_decode_only(c) for c in folder_clips)
+
+    s_walls, s_splits, s_cals = [], [], []
+    f_walls, f_cals = [], []
+    for _ in range(6):
+        rep = _single_rep(process_video, main_clip, params)
+        if rep is not None:
+            s_walls.append(rep[0])
+            s_splits.append(rep[1])
+            s_cals.append(rep[2])
+        frep = folder_rep(params)
+        if frep is not None:
+            f_walls.append(frep[0])
+            f_cals.append(frep[1])
+    if not s_walls:
         print(json.dumps({"metric": "bench_error", "value": 0, "unit": "", "vs_baseline": 0}))
         return
+    r = _stats(s_walls, s_splits, s_cals, DURATION_S)
     x_rt, decode_wait, device_compute = r["x"], r["decode_wait"], r["device_compute"]
     decode_only, overlap_eff = r["decode_only"], r["efficiency"]
     overlap_eff_med = r["efficiency_med"]
@@ -333,43 +388,15 @@ def main() -> None:
                          Params(overwrite=True, threads=1), 3, DURATION_S)
         threads1_x_rt = r1["x"] if r1 else 0.0
 
-    # --- scenario 2: folder batch (3 clips, 40 s of video), best of 6 —
-    # N clips in flight on the one chip (clip_workers auto). Each e2e rep
-    # is IMMEDIATELY followed by a folder calibration rep (raw sequential
-    # decode of all three clips in the same pool window), so the folder
-    # scenario carries the same contention-robust efficiency pair the
-    # headline does (VERDICT r4 #2: it previously had none — "6 reps
-    # against pool weather") ---
-    total_secs = sum(s for _, s, _, _, _ in folder_specs)
-    folder_clips = [os.path.join(folder, name) for name, *_ in folder_specs]
-
-    def folder_reps(run_params, n_reps):
-        walls, cals = [], []
-        for _ in range(n_reps):
-            t0 = time.time()
-            err = run_headless(folder, run_params,
-                               log_path=os.path.join(BENCH_DIR, "run.log"))
-            wall = time.time() - t0
-            if err:
-                continue
-            walls.append(wall)
-            cals.append(sum(_decode_only(c) for c in folder_clips))
-        if not walls:
-            return {"x": 0.0, "decode_only": 0.0, "efficiency": 0.0,
-                    "efficiency_med": 0.0}
-        ratios = [min(c / w, 1.0) for c, w in zip(cals, walls)
-                  if np.isfinite(c)]
-        finite = [c for c in cals if np.isfinite(c)]
-        return {
-            "x": total_secs / min(walls),
-            "decode_only": min(finite) if finite else 0.0,
-            "efficiency": max(ratios) if ratios else 0.0,
-            "efficiency_med": float(np.median(ratios)) if ratios else 0.0,
-        }
-
-    fr = folder_reps(params, 6)
-    folder_x_rt, folder_decode_only = fr["x"], fr["decode_only"]
-    folder_eff, folder_eff_med = fr["efficiency"], fr["efficiency_med"]
+    # --- scenario 2 stats: the folder reps were collected interleaved with
+    # the headline reps above (VERDICT r4 #2/#3: same-window calibration
+    # pairing AND same-weather folder-vs-single comparison) ---
+    if f_walls:
+        fr = _stats(f_walls, [(0.0, 0.0)] * len(f_walls), f_cals, total_secs)
+        folder_x_rt, folder_decode_only = fr["x"], fr["decode_only"]
+        folder_eff, folder_eff_med = fr["efficiency"], fr["efficiency_med"]
+    else:
+        folder_x_rt = folder_decode_only = folder_eff = folder_eff_med = 0.0
 
     # --- scenario 2b: clip-workers scaling (only meaningful with >1 host
     # core, where auto runs cores+1 in-flight clips): an explicit
@@ -377,8 +404,11 @@ def main() -> None:
     # half of the multi-core evidence row (VERDICT r4 #3/#7) ---
     folder_seq_x_rt = 0.0
     if host_cores > 1:
-        folder_seq_x_rt = folder_reps(
-            Params(overwrite=True, clip_workers=1), 3)["x"]
+        seq_params = Params(overwrite=True, clip_workers=1)
+        seq_walls = [w for w, _ in
+                     filter(None, (folder_rep(seq_params) for _ in range(3)))]
+        if seq_walls:
+            folder_seq_x_rt = total_secs / min(seq_walls)
 
     # --- scenario 3: mp4v comparability point (round-1/2 headline shape) ---
     mp4v_x_rt = 0.0

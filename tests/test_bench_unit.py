@@ -127,3 +127,34 @@ def test_threads_scaling_branch(monkeypatch):
                            3, bench.DURATION_S)
     assert rn["x"] == 5.0 and r1["x"] == 5.0
     assert seen == [(4, 3, True), (1, 3, True)]
+
+
+def test_stats_folder_shape():
+    """The interleaved folder path feeds _stats zeroed stage splits and
+    its own cal pairing; best-of and median efficiency must come out of
+    the same per-rep ordering the headline path uses."""
+    walls = [4.0, 2.0, 8.0]
+    cals = [2.0, 1.9, 2.1]  # ratios: 0.5, 0.95, 0.2625 -> median 0.5
+    r = bench._stats(walls, [(0.0, 0.0)] * 3, cals, 40.0)
+    assert r["x"] == 40.0 / 2.0
+    assert r["decode_only"] == 1.9
+    assert r["efficiency"] == pytest.approx(0.95)
+    assert r["efficiency_med"] == pytest.approx(0.5)
+    assert r["decode_wait"] == 0.0 and r["device_compute"] == 0.0
+
+
+def test_single_rep_pairs_calibration(monkeypatch):
+    """_single_rep must run the e2e leg FIRST and the calibration leg
+    immediately after (same pool window), and return (wall, split, cal)."""
+    order = []
+
+    def proc(clip, params, log_func):
+        order.append("e2e")
+        log_func("Stage timers: decode_wait=0.3s device_compute=0.2s")
+        return None
+
+    monkeypatch.setattr(bench, "_decode_only",
+                        lambda clip, vr: order.append("cal") or 1.5)
+    wall, split, cal = bench._single_rep(proc, "clip", object())
+    assert order == ["e2e", "cal"]
+    assert split == (0.3, 0.2) and cal == 1.5 and wall >= 0.0
